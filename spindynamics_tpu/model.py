@@ -1,0 +1,237 @@
+"""Spin model specification as a JAX pytree (capability parity with src/SpinModel.jl).
+
+The reference's `Model` (src/SpinModel.jl:6-15) holds coupling tuple-lists, a state
+list and a `Dict` index map. Here the model is a frozen pytree of device arrays:
+
+  - coupling lists become struct-of-arrays (`hop_i/hop_j/hop_J`, `zz_i/zz_j/zz_J`)
+  - the Dict idxmap is replaced by combinadic rank (basis.py) and, for the default
+    sector matvec, a precomputed ELL neighbor table `nbr[N, n_bonds]` (the static
+    sparsity structure of the off-diagonal part of H)
+  - the diagonal of H (field + ZZ; ref src/Hamiltonian.jl:147-154) is precomputed
+    once into `diag[N]` — it never changes between matvecs, so recomputing it per
+    apply (as the reference does) wastes bandwidth.
+
+Site indices are 0-based (Python convention; the reference is 1-based Julia).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import basis as basis_mod
+
+__all__ = ["SpinModel", "build_model", "nn_hopping", "long_range_hopping"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "states",
+        "diag",
+        "field",
+        "hop_i",
+        "hop_j",
+        "hop_J",
+        "zz_i",
+        "zz_j",
+        "zz_J",
+        "nbr",
+        "binom",
+    ],
+    meta_fields=["L", "nup", "mode"],
+)
+@dataclasses.dataclass(frozen=True)
+class SpinModel:
+    """XXZ-type spin-1/2 model on a bit-encoded basis.
+
+    H = sum_b Jxy_b (S+_i S-_j + S-_i S+_j) + sum_i h_i Sz_i + sum_z Jz (Sz_i Sz_j)
+
+    Note the hopping convention follows the reference kernel
+    (src/Hamiltonian.jl:159-175): the off-diagonal matrix element between states
+    that differ on bits (i, j) is Jxy_b itself (i.e. Jxy multiplies
+    S+S- + S-S+ without an extra 1/2).
+    """
+
+    # --- static metadata ---
+    L: int
+    nup: int | None
+    mode: str  # 'full' | 'sector'
+    # --- array leaves ---
+    states: jax.Array  # uint32 [N]
+    diag: jax.Array  # real  [N]   precomputed diagonal of H
+    field: jax.Array  # real  [L]
+    hop_i: jax.Array  # int32 [nb]
+    hop_j: jax.Array  # int32 [nb]
+    hop_J: jax.Array  # real  [nb]
+    zz_i: jax.Array  # int32 [nz]
+    zz_j: jax.Array  # int32 [nz]
+    zz_J: jax.Array  # real  [nz]
+    nbr: jax.Array | None  # int32 [N, nb] ELL neighbor table (sector mode; -1 = no bond)
+    binom: jax.Array  # int32 [L+1, nup+1] binomial LUT (sector mode)
+
+    @property
+    def n_states(self) -> int:
+        return self.states.shape[0]
+
+    @property
+    def n_bonds(self) -> int:
+        return self.hop_i.shape[0]
+
+    @property
+    def dtype(self):
+        return self.diag.dtype
+
+    def hop_masks(self) -> np.ndarray:
+        """uint32 XOR masks, one per hopping bond."""
+        hi = np.asarray(self.hop_i)
+        hj = np.asarray(self.hop_j)
+        return ((1 << hi.astype(np.uint64)) | (1 << hj.astype(np.uint64))).astype(
+            np.uint32
+        )
+
+
+def nn_hopping(L: int, J: float) -> list[tuple[int, int, float]]:
+    """Nearest-neighbour open chain (ref: src/SpinModel.jl:40-42); 0-based sites."""
+    return [(i, i + 1, float(J)) for i in range(L - 1)]
+
+
+def long_range_hopping(L: int, J: Callable[[int, int], float]) -> list[tuple[int, int, float]]:
+    """All-pairs coupling with user J(i, j) (ref: src/SpinModel.jl:44-46); 0-based."""
+    return [(i, j, float(J(i, j))) for i in range(L) for j in range(i + 1, L)]
+
+
+def _couplings_to_arrays(couplings, L, dtype):
+    if couplings is None or len(couplings) == 0:
+        return (
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, dtype),
+        )
+    arr = np.asarray([(int(i), int(j), float(J)) for (i, j, J) in couplings])
+    i = arr[:, 0].astype(np.int32)
+    j = arr[:, 1].astype(np.int32)
+    if np.any(i < 0) or np.any(i >= L) or np.any(j < 0) or np.any(j >= L):
+        raise ValueError("coupling site index out of range [0, L)")
+    if np.any(i == j):
+        raise ValueError("coupling with i == j")
+    return i, j, arr[:, 2].astype(dtype)
+
+
+def _compute_diag(states, field, zz_i, zz_j, zz_J, dtype, chunk=1 << 22):
+    """diag[idx] = sum_i h_i sz(bit_i) + sum_z Jz sz_i sz_j.
+
+    Host numpy, chunked over states (ref semantics: src/Hamiltonian.jl:145-154)."""
+    N = states.shape[0]
+    out = np.zeros(N, dtype=dtype)
+    L = field.shape[0]
+    nz_field = np.nonzero(field)[0]
+    for s0 in range(0, N, chunk):
+        s = states[s0 : s0 + chunk]
+        acc = np.zeros(s.shape[0], dtype=np.float64)
+        for i in nz_field:
+            acc += field[i] * (((s >> np.uint32(i)) & 1).astype(np.float64) - 0.5)
+        for i, j, Jz in zip(zz_i, zz_j, zz_J):
+            bi = ((s >> np.uint32(i)) & 1).astype(np.float64) - 0.5
+            bj = ((s >> np.uint32(j)) & 1).astype(np.float64) - 0.5
+            acc += float(Jz) * bi * bj
+        out[s0 : s0 + chunk] = acc.astype(dtype)
+    return out
+
+
+def _build_ell_table(states, hop_i, hop_j, chunk=1 << 22):
+    """ELL neighbor table for the sector basis: nbr[n, b] = rank(state_n XOR mask_b)
+    if bits (i_b, j_b) differ in state_n, else -1.
+
+    This is the static sparsity structure the reference recomputes per matvec via
+    Dict lookups (src/Hamiltonian.jl:159-175). `states` must be ascending, so
+    rank == searchsorted."""
+    N = states.shape[0]
+    nb = hop_i.shape[0]
+    nbr = np.full((N, nb), -1, dtype=np.int32)
+    masks = ((1 << hop_i.astype(np.uint64)) | (1 << hop_j.astype(np.uint64))).astype(
+        np.uint32
+    )
+    for s0 in range(0, N, chunk):
+        s = states[s0 : s0 + chunk]
+        for b in range(nb):
+            differ = (((s >> np.uint32(hop_i[b])) ^ (s >> np.uint32(hop_j[b]))) & 1).astype(
+                bool
+            )
+            flipped = s ^ masks[b]
+            r = np.searchsorted(states, flipped).astype(np.int32)
+            nbr[s0 : s0 + chunk, b] = np.where(differ, r, np.int32(-1))
+    return nbr
+
+
+def build_model(
+    L: int,
+    nup: int | None = None,
+    hopping: Sequence[tuple[int, int, float]] | None = None,
+    onsite_field: Sequence[float] | None = None,
+    zz: Sequence[tuple[int, int, float]] | None = None,
+    dtype=jnp.float32,
+    build_neighbor_table: bool | None = None,
+) -> SpinModel:
+    """Create a SpinModel (ref: src/SpinModel.jl:23-38 `build_model`).
+
+    nup=None selects the full 2^L basis, otherwise the U(1) Sz sector.
+    `build_neighbor_table` controls the ELL table (default: on for sector mode,
+    off for full mode, where the XOR index needs no table)."""
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    hop_i, hop_j, hop_J = _couplings_to_arrays(hopping, L, np_dtype)
+    zz_i, zz_j, zz_J = _couplings_to_arrays(zz, L, np_dtype)
+    field = (
+        np.zeros(L, np_dtype)
+        if onsite_field is None
+        else np.asarray(onsite_field, dtype=np_dtype)
+    )
+    if field.shape != (L,):
+        raise ValueError(f"onsite_field must have shape ({L},)")
+
+    if nup is None:
+        mode = "full"
+        states = basis_mod.build_full_basis(L)
+        binom = basis_mod.binomial_table(L, L)
+    else:
+        mode = "sector"
+        states = basis_mod.build_sector_basis(L, nup)
+        binom = basis_mod.binomial_table(L, nup)
+
+    diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
+
+    if build_neighbor_table is None:
+        build_neighbor_table = mode == "sector"
+    nbr = None
+    if build_neighbor_table and hop_i.shape[0] > 0:
+        try:
+            from .utils.native import native_ell_table
+
+            nbr = native_ell_table(states, hop_i, hop_j)
+        except Exception:
+            nbr = None
+        if nbr is None:
+            nbr = _build_ell_table(states, hop_i, hop_j)
+
+    dev = lambda x: jnp.asarray(x)
+    return SpinModel(
+        L=L,
+        nup=nup,
+        mode=mode,
+        states=dev(states),
+        diag=dev(diag),
+        field=dev(field),
+        hop_i=dev(hop_i),
+        hop_j=dev(hop_j),
+        hop_J=dev(hop_J),
+        zz_i=dev(zz_i),
+        zz_j=dev(zz_j),
+        zz_J=dev(zz_J),
+        nbr=None if nbr is None else dev(nbr),
+        binom=dev(binom.astype(np.int32)),
+    )

@@ -1,0 +1,114 @@
+"""Diagonal observables from |psi|^2 (capability parity with src/Observables.jl).
+
+The reference threads scalar loops with per-thread accumulators
+(src/Observables.jl:14-36, 44-95). Here everything is expressed as reductions
+XLA maps onto the VPU/MXU:
+
+  - magnetization: L masked reductions over the probability vector.
+  - <Sz_i Sz_j>: an (L x N)(N x L) matmul  sz^T diag(p) sz  on the MXU, chunked
+    over N so the N x L sz matrix is never fully materialized at large N
+    (replaces the O(N L^2) scalar loop at src/Observables.jl:66-72).
+  - S(q): FFT of the connected correlator (src/Observables.jl:101-110).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import SpinModel
+
+__all__ = [
+    "magnetization_per_site",
+    "connected_correlations",
+    "structure_factor_Sq",
+    "structure_factor_Sq_dict",
+    "szsz_matrix",
+]
+
+
+def _probs(psi: jax.Array) -> jax.Array:
+    if jnp.iscomplexobj(psi):
+        return psi.real**2 + psi.imag**2
+    return psi * psi
+
+
+def _sz_columns(states: jax.Array, L: int, dtype) -> jax.Array:
+    """[chunk, L] matrix of Sz eigenvalues (+-1/2) for a block of states."""
+    site = np.uint32(np.arange(L))
+    bits = ((states[:, None] >> site[None, :]) & np.uint32(1)).astype(dtype)
+    return bits - jnp.asarray(0.5, dtype)
+
+
+def magnetization_per_site(psi: jax.Array, model: SpinModel) -> jax.Array:
+    """<Sz_i> per site (ref: src/Observables.jl:14-36)."""
+    p = _probs(psi)
+    dtype = p.dtype
+    mags = []
+    for site in range(model.L):
+        bits = ((model.states >> np.uint32(site)) & np.uint32(1)).astype(dtype)
+        mags.append(jnp.vdot(p, bits - jnp.asarray(0.5, dtype)))
+    return jnp.stack(mags)
+
+
+def szsz_matrix(psi: jax.Array, model: SpinModel, chunk: int = 1 << 18):
+    """(SzSz[i,j], S_i) = (sum_n p_n sz_i(n) sz_j(n), sum_n p_n sz_i(n)).
+
+    MXU formulation of the accumulation loop at src/Observables.jl:61-81."""
+    p = _probs(psi)
+    dtype = p.dtype
+    L = model.L
+    N = model.n_states
+    nchunks = max(1, -(-N // chunk))
+    pad = nchunks * chunk - N
+    p_pad = jnp.pad(p, (0, pad))
+    s_pad = jnp.pad(model.states, (0, pad))
+
+    def body(carry, blk):
+        szsz, si = carry
+        pb, sb = blk
+        sz = _sz_columns(sb, L, dtype)  # [chunk, L]
+        wsz = sz * pb[:, None]
+        szsz = szsz + jnp.einsum("ni,nj->ij", wsz, sz, preferred_element_type=dtype)
+        si = si + jnp.sum(wsz, axis=0)
+        return (szsz, si), None
+
+    init = (jnp.zeros((L, L), dtype), jnp.zeros((L,), dtype))
+    (szsz, si), _ = jax.lax.scan(
+        body,
+        init,
+        (p_pad.reshape(nchunks, chunk), s_pad.reshape(nchunks, chunk)),
+    )
+    return szsz, si
+
+
+def connected_correlations(psi: jax.Array, model: SpinModel) -> jax.Array:
+    """C_r = (1/L) sum_i [<Sz_i Sz_{i+r}> - <Sz_i><Sz_{i+r}>], periodic wrap
+    (ref: src/Observables.jl:44-95, incl. the mod1 wrap at :68)."""
+    szsz, si = szsz_matrix(psi, model)
+    L = model.L
+    conn = szsz - jnp.outer(si, si)
+    i = jnp.arange(L)
+    rows = []
+    for r in range(L):
+        j = (i + r) % L
+        rows.append(jnp.mean(conn[i, j]))
+    return jnp.stack(rows)
+
+
+def structure_factor_Sq(psi: jax.Array, model: SpinModel):
+    """Static structure factor S(q) = FFT_r C_r at q = 2 pi n / L
+    (ref: src/Observables.jl:101-110). Returns (q_list, S_q) arrays."""
+    C_r = connected_correlations(psi, model)
+    S_q = jnp.real(jnp.fft.fft(C_r))
+    q = 2.0 * jnp.pi * jnp.arange(model.L) / model.L
+    return q, S_q
+
+
+def structure_factor_Sq_dict(psi: jax.Array, model: SpinModel) -> dict:
+    """Dict q -> S(q), matching the reference's return type (src/Observables.jl:104-109)."""
+    q, S_q = structure_factor_Sq(psi, model)
+    q = np.asarray(q)
+    S_q = np.asarray(S_q)
+    return {float(qi): float(si) for qi, si in zip(q, S_q)}

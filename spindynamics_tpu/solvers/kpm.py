@@ -1,0 +1,250 @@
+"""KPM spectral functions: S(q, omega) and T=0 dynamical correlations.
+
+Capability parity with src/KPM_Sqw.jl (kpm_sw :29-71, kpm_sqw :172-218) and
+src/TimeEvolution/KPM.jl (kpm_dynamical_correlation :72-116,
+kpm_correlation_matrix :214-235, Sqw :239-248, run_kpm_dynamical :254-267 —
+the reference wrapper is broken, SURVEY.md §2.4-1; this one works).
+
+Both reference normalization conventions are preserved per-path via
+`kpm_reconstruct` flags (SURVEY.md §2.4-3). The q / site axes are vmapped into
+batched moment recurrences instead of the reference's Python threads.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model import SpinModel
+from ..ops.apply import apply_rescaled_H, matvec_fn
+from ..ops.spin_ops import apply_spin_operator, sz_q_vector
+from .chebyshev import (
+    _moment_scan,
+    chebyshev_moments,
+    chebyshev_cross_moments,
+    kpm_reconstruct,
+    rescaling_params,
+)
+from .lanczos import estimate_energy_bounds
+
+__all__ = [
+    "kpm_sw",
+    "kpm_sqw",
+    "kpm_dynamical_correlation",
+    "kpm_correlation_matrix",
+    "kpm_structure_factor",
+    "run_kpm_dynamical",
+]
+
+
+def _matvec_rescaled_fn(model, a, b, backend=None):
+    return partial(apply_rescaled_H, model=model, a=a, b=b, backend=backend)
+
+
+def _default_rescaling(model, backend=None, lanc_m=80, safety=1.0, key=None):
+    mv = matvec_fn(model, backend)
+    lo, hi = estimate_energy_bounds(
+        mv, model.n_states, lanc_m=lanc_m, key=key
+    )
+    return rescaling_params(lo, hi, safety=safety)
+
+
+def kpm_sw(
+    phi,
+    model: SpinModel,
+    omega,
+    a: float,
+    b: float,
+    kpm_m: int = 200,
+    kernel: str = "jackson",
+    backend: str | None = None,
+):
+    """S(omega) for one normalized phi (ref: src/KPM_Sqw.jl:29-71 convention:
+    (2 - delta_n0) doubling, no 2/a density factor, x clamped)."""
+    mvr = _matvec_rescaled_fn(model, a, b, backend)
+    mu = chebyshev_moments(mvr, phi, kpm_m)
+    return kpm_reconstruct(
+        mu, omega, a, b, kernel=kernel, doubling=True, density_2_over_a=False
+    )
+
+
+def kpm_sqw(
+    psi0,
+    model: SpinModel,
+    q_list,
+    omega,
+    a: float | None = None,
+    b: float | None = None,
+    kpm_m: int = 200,
+    kernel: str = "jackson",
+    backend: str | None = None,
+    lanc_m: int = 80,
+    key=None,
+):
+    """S(q, omega) via KPM (ref: src/KPM_Sqw.jl:172-218). phi_q = S^z_q psi0 is
+    normalized per-q as the reference does (src/KPM_Sqw.jl:198-199); the q axis
+    is one batched moment recurrence (vmap over the reference's @threads loop)."""
+    if a is None or b is None:
+        a, b = _default_rescaling(model, backend, lanc_m=lanc_m, key=key)
+    cdtype = jnp.result_type(psi0.dtype, jnp.complex64)
+    psi0 = jnp.asarray(psi0, cdtype)
+    rdtype = jnp.zeros(0, cdtype).real.dtype
+    q_arr = jnp.asarray(np.asarray(q_list), rdtype)
+
+    phis = jax.vmap(lambda q: sz_q_vector(model, psi0, q, dtype=cdtype))(q_arr)
+    norms = jnp.linalg.norm(phis, axis=1)
+    safe = jnp.maximum(norms, jnp.finfo(rdtype).tiny)
+    phis = phis / safe[:, None].astype(cdtype)
+
+    mvr = _matvec_rescaled_fn(model, a, b, backend)
+    mus = jax.vmap(lambda p: jnp.real(_moment_scan(mvr, p, kpm_m, p)))(phis)
+    S = kpm_reconstruct(
+        mus, omega, a, b, kernel=kernel, doubling=True, density_2_over_a=False
+    )
+    S = jnp.where((norms > 0)[:, None], S, 0.0)
+    return S
+
+
+def kpm_dynamical_correlation(
+    psi,
+    operator_A,
+    operator_B,
+    omega,
+    model: SpinModel,
+    n: int = 300,
+    a: float | None = None,
+    b: float | None = None,
+    kernel: str = "jackson",
+    backend: str | None = None,
+    key=None,
+):
+    """T=0 correlation S_AB(omega) = <psi| A^dag delta(omega - (H - E0)) B |psi>
+    (ref: src/TimeEvolution/KPM.jl:72-116). operator_X(psi, model) -> X|psi>.
+
+    Uses the reference's second convention: no doubling of n>=1 terms, includes
+    the 2/a density factor, zero outside |x| >= 1, clipped non-negative."""
+    if a is None or b is None:
+        lo, hi = estimate_energy_bounds(
+            matvec_fn(model, backend), model.n_states, lanc_m=min(n, 80), key=key
+        )
+        # ref uses 0.9 shrink here (src/TimeEvolution/KPM.jl:46); our bounds are
+        # already expanded outward, so safety=1.
+        a, b = rescaling_params(lo, hi, safety=1.0)
+    phi = operator_B(psi, model)
+    chi = operator_A(psi, model)
+    mvr = _matvec_rescaled_fn(model, a, b, backend)
+    mu = chebyshev_cross_moments(mvr, chi, phi, n)
+    S = kpm_reconstruct(
+        mu,
+        omega,
+        a,
+        b,
+        kernel=kernel,
+        doubling=False,
+        density_2_over_a=True,
+        clamp=None,
+        clip_nonneg=True,
+    )
+    return S
+
+
+def kpm_correlation_matrix(
+    psi,
+    omega,
+    model: SpinModel,
+    n: int = 300,
+    opA_kind: str = "z",
+    opB_kind: str = "z",
+    a: float | None = None,
+    b: float | None = None,
+    kernel: str = "jackson",
+    backend: str | None = None,
+    key=None,
+):
+    """C[i, j, omega] = |S_{A_i B_j}(omega)| for all L x L site pairs
+    (ref: src/TimeEvolution/KPM.jl:214-235), shared (a, b).
+
+    The (i, j) pair axis is vmapped into one batched cross-moment recurrence
+    (L^2 simultaneous Chebyshev iterations) instead of the reference's serial
+    double loop."""
+    if a is None or b is None:
+        a, b = _default_rescaling(model, backend, key=key)
+    L = model.L
+    cdtype = jnp.result_type(psi.dtype, jnp.complex64)
+    psi = jnp.asarray(psi, cdtype)
+
+    ops_A = jnp.stack(
+        [apply_spin_operator(psi, model, i, opA_kind).astype(cdtype) for i in range(L)]
+    )
+    ops_B = jnp.stack(
+        [apply_spin_operator(psi, model, j, opB_kind).astype(cdtype) for j in range(L)]
+    )
+    mvr = _matvec_rescaled_fn(model, a, b, backend)
+
+    # batched over B-sites: one recurrence per phi_j, moments against all chi_i at
+    # once via a [L, N] x [N] matvec inside the scan.
+    def moments_vs_all(phi):
+        norm_phi = jnp.linalg.norm(phi)
+        phi_n = phi / jnp.maximum(norm_phi, jnp.finfo(norm_phi.dtype).tiny).astype(
+            cdtype
+        )
+        mu0 = ops_A.conj() @ phi_n
+        v_curr = mvr(phi_n)
+        mu1 = ops_A.conj() @ v_curr
+
+        def step(carry, _):
+            v_prev, v_curr = carry
+            v_next = 2.0 * mvr(v_curr) - v_prev
+            return (v_curr, v_next), ops_A.conj() @ v_next
+
+        _, mus = jax.lax.scan(step, (phi_n, v_curr), None, length=n - 2)
+        mu = jnp.concatenate([mu0[None], mu1[None], mus], axis=0)  # [n, L]
+        return jnp.real(mu).T * jnp.real(norm_phi)  # [L_A, n]
+
+    mu_all = jax.vmap(moments_vs_all)(ops_B)  # [L_B, L_A, n]
+    S = kpm_reconstruct(
+        mu_all,
+        omega,
+        a,
+        b,
+        kernel=kernel,
+        doubling=False,
+        density_2_over_a=True,
+        clamp=None,
+        clip_nonneg=True,
+    )  # [L_B, L_A, W]
+    C = jnp.abs(jnp.swapaxes(S, 0, 1))  # [i=A, j=B, W], ref takes abs at :232
+    return C
+
+
+def kpm_structure_factor(C, q: float, positions):
+    """S(q, omega) = (1/N) sum_ij e^{-i q (r_i - r_j)} C[i,j,omega]
+    (ref: src/TimeEvolution/KPM.jl:239-248, `Sqw`)."""
+    C = jnp.asarray(C)
+    pos = jnp.asarray(np.asarray(positions), C.dtype)
+    N = pos.shape[0]
+    phase = jnp.exp(-1j * q * (pos[:, None] - pos[None, :]))  # [N, N]
+    return jnp.real(jnp.einsum("ij,ijw->w", phase, C.astype(phase.dtype))) / N
+
+
+def run_kpm_dynamical(
+    model: SpinModel,
+    omega,
+    opA_kind: str = "z",
+    opB_kind: str = "z",
+    n: int = 300,
+    backend: str | None = None,
+):
+    """Working version of the reference's broken wrapper
+    (src/TimeEvolution/KPM.jl:254-267 calls a nonexistent apply_H_sector!):
+    domain-wall start, normalized, full correlation matrix."""
+    from ..models.initial_states import domain_wall_state
+
+    psi0 = domain_wall_state(model, dtype=jnp.complex64)
+    psi0 = psi0 / jnp.linalg.norm(psi0).astype(psi0.dtype)
+    return kpm_correlation_matrix(
+        psi0, omega, model, n=n, opA_kind=opA_kind, opB_kind=opB_kind, backend=backend
+    )

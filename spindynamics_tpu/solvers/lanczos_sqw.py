@@ -1,0 +1,104 @@
+"""Dynamic structure factor S(q, omega) via Lanczos (parity with src/LanczosSqw.jl).
+
+The reference threads a Python-level loop over q-points (src/LanczosSqw.jl:65);
+here the q axis is vmapped: all q-point Lanczos recurrences run as ONE batched
+scan, so each matvec processes a [Q, N] block — bigger, better-shaped work for
+the TPU (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model import SpinModel
+from ..ops.apply import apply_H, matvec_fn
+from ..ops.spin_ops import sz_q_vector, sz_q_weights
+from .lanczos import _lanczos_scan, tridiag_eigh
+
+__all__ = ["spectral_from_tridiagonal", "lanczos_sqw"]
+
+
+def spectral_from_tridiagonal(
+    alphas,
+    betas,
+    norm_phi: float,
+    E0: float,
+    omega,
+    eta: float = 0.05,
+    broaden: str = "lorentz",
+    m_eff=None,
+):
+    """Broadened spectral density from a Lanczos tridiagonalization
+    (ref: src/LanczosSqw.jl:18-45). Host-side: the tridiagonal is tiny.
+
+    Weights w_k = |Q[0,k]|^2 ||phi||^2; poles at omega = theta_k - E0."""
+    theta, Q = tridiag_eigh(alphas, betas, m_eff)
+    w = (Q[0, :] ** 2) * (float(norm_phi) ** 2)
+    omega = np.asarray(omega, dtype=np.float64)
+    shifted = omega[:, None] - (theta[None, :] - float(E0))  # [W, m]
+    if broaden == "lorentz":
+        mat = (1.0 / np.pi) * (eta / (shifted**2 + eta**2))
+    elif broaden == "gauss":
+        mat = np.exp(-(shifted**2) / (2 * eta**2)) / (np.sqrt(2 * np.pi) * eta)
+    else:
+        raise ValueError(f"unknown broadening {broaden!r}")
+    return mat @ w
+
+
+def lanczos_sqw(
+    psi0,
+    model: SpinModel,
+    q_list,
+    omega,
+    lanc_m: int = 200,
+    eta: float = 0.05,
+    broaden: str = "lorentz",
+    tol: float = 1e-12,
+    backend: str | None = None,
+):
+    """S(q, omega) from the (ground) state psi0 (ref: src/LanczosSqw.jl:49-82).
+
+    For each q: phi = S^z_q psi0, Lanczos-tridiagonalize H from phi, broaden the
+    pole weights. The q axis is vmapped into one batched recurrence."""
+    cdtype = jnp.result_type(psi0.dtype, jnp.complex64)
+    psi0 = jnp.asarray(psi0, cdtype)
+    matvec = matvec_fn(model, backend)
+    hpsi = matvec(psi0)
+    E0 = float(jnp.real(jnp.vdot(psi0, hpsi)))
+
+    q_arr = jnp.asarray(np.asarray(q_list), jnp.zeros(0, cdtype).real.dtype)
+    phis = jax.vmap(lambda q: sz_q_vector(model, psi0, q, dtype=cdtype))(q_arr)
+    norms = jnp.linalg.norm(phis, axis=1)
+    safe = jnp.maximum(norms, jnp.finfo(norms.dtype).tiny)
+    phis_n = phis / safe[:, None].astype(cdtype)
+
+    batched = jax.vmap(
+        lambda v: _lanczos_scan(matvec, v, lanc_m, tol, False, False)[:3]
+    )
+    alphas, betas, active = batched(phis_n)
+
+    alphas = np.asarray(alphas)
+    betas = np.asarray(betas)
+    m_effs = np.asarray(jnp.sum(active.astype(jnp.int32), axis=1))
+    norms = np.asarray(norms)
+
+    W = np.asarray(omega).shape[0]
+    Smat = np.zeros((q_arr.shape[0], W))
+    for iq in range(q_arr.shape[0]):
+        if norms[iq] == 0:
+            continue
+        Smat[iq] = spectral_from_tridiagonal(
+            alphas[iq],
+            betas[iq, : lanc_m - 1],
+            norms[iq],
+            E0,
+            omega,
+            eta=eta,
+            broaden=broaden,
+            m_eff=m_effs[iq],
+        )
+    return Smat
