@@ -141,6 +141,25 @@ def rank_state(state: int, L: int, nup: int) -> int:
     return rank
 
 
+def unrank_states(idx, L: int, nup: int, binom) -> jax.Array:
+    """Vectorized combinadic unrank: basis index -> uint32 state, jit-compatible.
+
+    Enables ON-DEVICE basis enumeration (states = unrank_states(arange(N), ...)):
+    at L >= 28 the sector has 4e7..6e8 states and host enumeration is the
+    bottleneck; this is L fused vector ops on the accelerator instead."""
+    idx = jnp.asarray(idx, jnp.int32)
+    binom = jnp.asarray(binom, dtype=jnp.int32)
+    state = jnp.zeros(idx.shape, jnp.uint32)
+    k = jnp.full(idx.shape, nup, jnp.int32)
+    for p in range(L - 1, -1, -1):
+        c = binom[p, jnp.clip(k, 0, binom.shape[1] - 1)]
+        take = jnp.logical_and(k > 0, idx >= c)
+        state = jnp.where(take, state | np.uint32(1 << p), state)
+        idx = jnp.where(take, idx - c, idx)
+        k = jnp.where(take, k - 1, k)
+    return state
+
+
 def unrank(idx: int, L: int, nup: int) -> int:
     """Host inverse of rank_state: idx -> state bitstring (colex combinadic)."""
     state = 0

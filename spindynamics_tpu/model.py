@@ -44,7 +44,7 @@ __all__ = ["SpinModel", "build_model", "nn_hopping", "long_range_hopping"]
         "nbr",
         "binom",
     ],
-    meta_fields=["L", "nup", "mode"],
+    meta_fields=["L", "nup", "mode", "n_valid"],
 )
 @dataclasses.dataclass(frozen=True)
 class SpinModel:
@@ -74,10 +74,26 @@ class SpinModel:
     zz_J: jax.Array  # real  [nz]
     nbr: jax.Array | None  # int32 [N, nb] ELL neighbor table (sector mode; -1 = no bond)
     binom: jax.Array  # int32 [L+1, nup+1] binomial LUT (sector mode)
+    # Logical Hilbert dimension when the arrays are padded for sharding
+    # (pad rows have diag=0, nbr=-1 and are an exact invariant null subspace).
+    # None means "no padding": dim == n_states.
+    n_valid: int | None = None
 
     @property
     def n_states(self) -> int:
+        """Array length (>= dim when padded for sharding)."""
         return self.states.shape[0]
+
+    @property
+    def dim(self) -> int:
+        """Logical Hilbert-space dimension."""
+        return self.n_valid if self.n_valid is not None else self.states.shape[0]
+
+    def valid_mask(self):
+        """Boolean [n_states] mask of logical rows, or None if unpadded."""
+        if self.n_valid is None:
+            return None
+        return jnp.arange(self.states.shape[0]) < self.n_valid
 
     @property
     def n_bonds(self) -> int:
@@ -169,6 +185,60 @@ def _build_ell_table(states, hop_i, hop_j, chunk=1 << 22):
     return nbr
 
 
+def _device_sector_setup(L, nup, binom, field, zz_i, zz_j, zz_J, hop_i, hop_j,
+                         dtype, want_table):
+    """On-device basis/diag/ELL construction for large sectors.
+
+    With only a couple of host cores, enumerating and ranking 4e7..6e8 states
+    (L = 28..32) on host dominates wall-clock; on the accelerator it is L fused
+    vector passes (unrank) + one combinadic rank pass per bond."""
+    N = basis_mod.sector_dimension(L, nup)
+    binom_d = jnp.asarray(binom.astype(np.int32))
+    f32 = jnp.dtype(dtype)
+
+    @jax.jit
+    def build_states():
+        idx = jnp.arange(N, dtype=jnp.int32)
+        return basis_mod.unrank_states(idx, L, nup, binom_d)
+
+    states = build_states()
+
+    field_nz = [(int(i), float(field[i])) for i in np.nonzero(field)[0]]
+    zz_terms = [
+        (int(i), int(j), float(J)) for i, j, J in zip(zz_i, zz_j, zz_J)
+    ]
+
+    @jax.jit
+    def build_diag(states):
+        acc = jnp.zeros(states.shape, f32)
+        for i, h in field_nz:
+            acc = acc + h * (((states >> np.uint32(i)) & 1).astype(f32) - 0.5)
+        for i, j, J in zz_terms:
+            bi = ((states >> np.uint32(i)) & 1).astype(f32) - 0.5
+            bj = ((states >> np.uint32(j)) & 1).astype(f32) - 0.5
+            acc = acc + J * bi * bj
+        return acc
+
+    diag = build_diag(states)
+
+    nbr = None
+    if want_table and hop_i.shape[0] > 0:
+        bonds = [(int(i), int(j)) for i, j in zip(hop_i, hop_j)]
+
+        @jax.jit
+        def build_col(states, bi, bj):
+            mask = np.uint32((1 << bi) | (1 << bj))
+            differ = (((states >> np.uint32(bi)) ^ (states >> np.uint32(bj))) & 1) == 1
+            flipped = states ^ mask
+            r = basis_mod.rank_states(flipped, L, binom_d)
+            return jnp.where(differ, r, jnp.int32(-1))
+
+        cols = [build_col(states, bi, bj) for bi, bj in bonds]
+        nbr = jnp.stack(cols, axis=1)
+        del cols
+    return states, diag, nbr
+
+
 def build_model(
     L: int,
     nup: int | None = None,
@@ -177,12 +247,15 @@ def build_model(
     zz: Sequence[tuple[int, int, float]] | None = None,
     dtype=jnp.float32,
     build_neighbor_table: bool | None = None,
+    device_build: bool | None = None,
 ) -> SpinModel:
     """Create a SpinModel (ref: src/SpinModel.jl:23-38 `build_model`).
 
     nup=None selects the full 2^L basis, otherwise the U(1) Sz sector.
     `build_neighbor_table` controls the ELL table (default: on for sector mode,
-    off for full mode, where the XOR index needs no table)."""
+    off for full mode, where the XOR index needs no table).
+    `device_build` moves basis enumeration + table construction onto the
+    accelerator (default: automatically for large sectors on non-CPU backends)."""
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     hop_i, hop_j, hop_J = _couplings_to_arrays(hopping, L, np_dtype)
     zz_i, zz_j, zz_J = _couplings_to_arrays(zz, L, np_dtype)
@@ -194,37 +267,55 @@ def build_model(
     if field.shape != (L,):
         raise ValueError(f"onsite_field must have shape ({L},)")
 
+    if build_neighbor_table is None:
+        build_neighbor_table = nup is not None
+
+    if device_build is None:
+        device_build = (
+            nup is not None
+            and basis_mod.sector_dimension(L, nup) >= (1 << 20)
+            and jax.default_backend() != "cpu"
+        )
+
+    states_d = diag_d = nbr_d = None
     if nup is None:
         mode = "full"
         states = basis_mod.build_full_basis(L)
         binom = basis_mod.binomial_table(L, L)
     else:
         mode = "sector"
-        states = basis_mod.build_sector_basis(L, nup)
         binom = basis_mod.binomial_table(L, nup)
+        if device_build:
+            states_d, diag_d, nbr_d = _device_sector_setup(
+                L, nup, binom, field, zz_i, zz_j, zz_J, hop_i, hop_j,
+                np_dtype, build_neighbor_table,
+            )
+        else:
+            states = basis_mod.build_sector_basis(L, nup)
 
-    diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
+    if states_d is None:
+        diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
+        nbr = None
+        if build_neighbor_table and hop_i.shape[0] > 0:
+            try:
+                from .utils.native import native_ell_table
 
-    if build_neighbor_table is None:
-        build_neighbor_table = mode == "sector"
-    nbr = None
-    if build_neighbor_table and hop_i.shape[0] > 0:
-        try:
-            from .utils.native import native_ell_table
-
-            nbr = native_ell_table(states, hop_i, hop_j)
-        except Exception:
-            nbr = None
-        if nbr is None:
-            nbr = _build_ell_table(states, hop_i, hop_j)
+                nbr = native_ell_table(states, hop_i, hop_j)
+            except Exception:
+                nbr = None
+            if nbr is None:
+                nbr = _build_ell_table(states, hop_i, hop_j)
+        states_d = jnp.asarray(states)
+        diag_d = jnp.asarray(diag)
+        nbr_d = None if nbr is None else jnp.asarray(nbr)
 
     dev = lambda x: jnp.asarray(x)
     return SpinModel(
         L=L,
         nup=nup,
         mode=mode,
-        states=dev(states),
-        diag=dev(diag),
+        states=states_d,
+        diag=diag_d,
         field=dev(field),
         hop_i=dev(hop_i),
         hop_j=dev(hop_j),
@@ -232,6 +323,6 @@ def build_model(
         zz_i=dev(zz_i),
         zz_j=dev(zz_j),
         zz_J=dev(zz_J),
-        nbr=None if nbr is None else dev(nbr),
+        nbr=nbr_d,
         binom=dev(binom.astype(np.int32)),
     )

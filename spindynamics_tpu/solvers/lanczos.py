@@ -180,7 +180,9 @@ def tridiag_eigh(alphas, betas, m_eff=None):
     return evals, evecs
 
 
-def _random_start(N, dtype, key):
+def _random_start(N, dtype, key, mask=None):
+    """Random start vector; `mask` (bool [N]) zeroes padded rows so sharded
+    models' pad subspace (parallel/sharded_apply.pad_model) is never excited."""
     if key is None:
         key = jax.random.PRNGKey(0)
     rdtype = _real_dtype(dtype)
@@ -189,8 +191,12 @@ def _random_start(N, dtype, key):
         v = jax.random.normal(kr, (N,), rdtype) + 1j * jax.random.normal(
             ki, (N,), rdtype
         )
-        return v.astype(dtype)
-    return jax.random.normal(key, (N,), dtype)
+        v = v.astype(dtype)
+    else:
+        v = jax.random.normal(key, (N,), dtype)
+    if mask is not None:
+        v = jnp.where(mask, v, 0)
+    return v
 
 
 def lanczos_extremal(
@@ -200,10 +206,11 @@ def lanczos_extremal(
     tol: float = 1e-12,
     dtype=jnp.complex64,
     key=None,
+    mask=None,
 ):
     """(Emin, Emax) Ritz bounds from one Lanczos run with a random complex start
     (ref: src/Lanczos.jl:26-75)."""
-    v0 = _random_start(N, dtype, key)
+    v0 = _random_start(N, dtype, key, mask)
     fac = lanczos_iteration(matvec, v0, lanc_m, tol=tol)
     evals, _ = tridiag_eigh(fac.alphas, fac.betas, fac.m_eff)
     return float(evals.min()), float(evals.max())
@@ -217,6 +224,7 @@ def estimate_energy_bounds(
     dtype=jnp.complex64,
     key=None,
     safety: float = 0.01,
+    mask=None,
 ):
     """Outer estimates (Emin, Emax) of the spectrum for Chebyshev rescaling.
 
@@ -226,7 +234,9 @@ def estimate_energy_bounds(
     diverge if any eigenvalue maps outside [-1, 1] (the reference instead
     *shrinks* the interval via its 0.99/0.9 factors and then needs a mid-stream
     renormalization hack, SURVEY.md §2.4-3/5 — a defect we do not replicate)."""
-    lo, hi = lanczos_extremal(matvec, N, lanc_m=lanc_m, tol=tol, dtype=dtype, key=key)
+    lo, hi = lanczos_extremal(
+        matvec, N, lanc_m=lanc_m, tol=tol, dtype=dtype, key=key, mask=mask
+    )
     half = 0.5 * (hi - lo)
     pad = safety * half + 1e-6
     return lo - pad, hi + pad
@@ -240,10 +250,11 @@ def lanczos_groundstate(
     dtype=jnp.float32,
     key=None,
     reorth: bool = True,
+    mask=None,
 ):
     """Ground-state energy and vector with stored basis + full reorthogonalization
     (ref: src/Lanczos.jl:78-165). Returns (E0, psi_gs, info dict with residual)."""
-    v0 = _random_start(N, dtype, key)
+    v0 = _random_start(N, dtype, key, mask)
     fac = lanczos_iteration(
         matvec, v0, lanc_m, tol=tol, reorth=reorth, store_basis=True
     )
@@ -267,13 +278,14 @@ def lanczos_groundstate_twopass(
     tol: float = 1e-12,
     dtype=jnp.float32,
     key=None,
+    mask=None,
 ):
     """Memory-lean ground state: pass 1 computes (alpha, beta) with O(3N) memory,
     the tiny tridiagonal is solved on host, pass 2 re-runs the identical
     recurrence accumulating psi = sum_j y_j v_j. Fixes the O(N*m) memory of the
     reference (SURVEY.md §2.4-9) for large Hilbert spaces. No reorthogonalization,
     so use moderate m or check the residual in the returned info."""
-    v0 = _random_start(N, dtype, key)
+    v0 = _random_start(N, dtype, key, mask)
     v1, _ = _normalize_start(v0)
     alphas, betas, active, _ = _lanczos_scan(matvec, v1, lanc_m, tol, False, False)
     m_eff = int(jnp.sum(active.astype(jnp.int32)))

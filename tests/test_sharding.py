@@ -1,0 +1,116 @@
+"""Multi-device equivalence tests on the 8-device virtual CPU mesh
+(what the reference lacks entirely — SURVEY.md §4 'add what the reference lacks')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spindynamics_tpu import (
+    apply_H,
+    chebyshev_time_evolve,
+    domain_wall_state,
+    lanczos_groundstate,
+    magnetization_per_site,
+    matvec_fn,
+    xxz_chain,
+)
+from spindynamics_tpu.parallel.mesh import make_mesh, shard_model, shard_state
+from spindynamics_tpu.parallel.sharded_apply import (
+    pad_state,
+    sharded_matvec_fn,
+    unpad_state,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual CPU devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def problem(mesh):
+    m = xxz_chain(10, Jxy=1.0, Jz=0.5, nup=5, dtype=jnp.float64)  # N = 252
+    rng = np.random.default_rng(0)
+    psi = rng.normal(size=m.n_states) + 1j * rng.normal(size=m.n_states)
+    psi /= np.linalg.norm(psi)
+    return m, jnp.asarray(psi)
+
+
+def test_auto_spmd_matvec_matches(problem, mesh):
+    """Same apply_H code, sharded inputs: XLA SPMD result == single-device."""
+    m, psi = problem
+    want = np.asarray(apply_H(psi, m))
+    m_sh = shard_model(m, mesh)
+    psi_sh = shard_state(psi, mesh)
+    f = jax.jit(lambda p: apply_H(p, m_sh))
+    got = np.asarray(f(psi_sh))
+    assert got.shape[0] == m_sh.n_states  # padded to a multiple of 8
+    assert np.allclose(got[: m.n_states], want, atol=1e-12)
+    assert np.allclose(got[m.n_states :], 0.0)  # pad rows stay exactly zero
+
+
+def test_shard_map_matvec_matches(problem, mesh):
+    m, psi = problem
+    want = np.asarray(apply_H(psi, m))
+    matvec, pm = sharded_matvec_fn(m, mesh)
+    psi_p = shard_state(pad_state(psi, 8), mesh)
+    got = np.asarray(unpad_state(matvec(psi_p), m.n_states))
+    assert np.allclose(got, want, atol=1e-12)
+    # padded tail stays exactly zero
+    full = np.asarray(matvec(psi_p))
+    assert np.allclose(full[m.n_states :], 0.0)
+
+
+def test_sharded_lanczos_groundstate(problem, mesh):
+    """Full solver stack on sharded arrays: energies agree to 1e-9."""
+    m, _ = problem
+    mv = matvec_fn(m)
+    E0_single, _, _ = lanczos_groundstate(mv, m.n_states, lanc_m=50, dtype=jnp.float64)
+
+    m_sh = shard_model(m, mesh)
+    mv_sh = matvec_fn(m_sh)
+    E0_sh, psi_sh, info = lanczos_groundstate(
+        mv_sh, m_sh.n_states, lanc_m=50, dtype=jnp.float64,
+        mask=m_sh.valid_mask(),
+    )
+    assert E0_sh == pytest.approx(E0_single, abs=1e-9)
+    assert info["residual"] < 1e-6
+
+
+def test_sharded_chebyshev_evolution(problem, mesh):
+    m, psi = problem
+    mv = matvec_fn(m)
+    bounds = (-8.0, 8.0)
+    want = np.asarray(chebyshev_time_evolve(psi, mv, 0.1, bounds, cheb_n=24))
+
+    m_sh = shard_model(m, mesh)
+    psi_sh = shard_state(psi, mesh)
+    got = np.asarray(
+        chebyshev_time_evolve(psi_sh, matvec_fn(m_sh), 0.1, bounds, cheb_n=24)
+    )
+    assert np.allclose(got[: m.n_states], want, atol=1e-11)
+
+
+def test_sharded_observables(problem, mesh):
+    m, psi = problem
+    want = np.asarray(magnetization_per_site(psi, m))
+    m_sh = shard_model(m, mesh)
+    psi_sh = shard_state(psi, mesh)
+    got = np.asarray(magnetization_per_site(psi_sh, m_sh))
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_sharded_full_mode_tensor(mesh):
+    """Full-mode flip backend under sharding: psi as (2,)*L tensor sharded on
+    the leading (high-bit) axis."""
+    m = xxz_chain(8, Jxy=1.0, Jz=0.3, nup=None, dtype=jnp.float64,
+                  build_neighbor_table=False)
+    rng = np.random.default_rng(1)
+    psi = jnp.asarray(rng.normal(size=m.n_states))
+    want = np.asarray(apply_H(psi, m, backend="tensor"))
+    psi_sh = shard_state(psi, mesh)
+    f = jax.jit(lambda p: apply_H(p, m, backend="tensor"))
+    got = np.asarray(f(psi_sh))
+    assert np.allclose(got, want, atol=1e-12)
