@@ -1,0 +1,57 @@
+"""KPM dynamic structure factor (parity with examples/example_kpmSqw.jl:
+L=20 Sz=0 Heisenberg, kpm_m=100, Jackson kernel, omega in [0, 5])."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import spindynamics_tpu as sd
+
+
+def main(L=20, kpm_m=100, n_omega=50, omega_max=5.0, lanc_m=100):
+    nup = L // 2
+    dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    model = sd.heisenberg_chain(L, J=1.0, nup=nup, dtype=dtype)
+    mv = sd.matvec_fn(model)
+    print(f"L={L} Sz=0  N={model.n_states}")
+
+    t0 = time.time()
+    E0, psi0, info = sd.lanczos_groundstate(mv, model.n_states, lanc_m=lanc_m,
+                                            dtype=dtype)
+    print(f"E0 = {E0:.6f}  ({time.time()-t0:.1f} s)")
+
+    Emin, Emax = sd.estimate_energy_bounds(mv, model.n_states, lanc_m=80)
+    a, b = sd.rescaling_params(Emin, Emax)
+
+    q_list = [2 * np.pi * k / L for k in range(L)]
+    omega = np.linspace(0.0, omega_max, n_omega)
+    t0 = time.time()
+    S = np.asarray(sd.kpm_sqw(psi0, model, q_list, omega, a=a, b=b, kpm_m=kpm_m))
+    print(f"kpm_sqw: {time.time()-t0:.1f} s for {len(q_list)} q x {kpm_m} moments")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(6, 4))
+        plt.imshow(S.T, aspect="auto", origin="lower",
+                   extent=[0, 2 * np.pi, 0, omega_max], cmap="inferno")
+        plt.xlabel("q")
+        plt.ylabel("omega")
+        plt.title(f"KPM S(q,w)  L={L} Sz=0 Heisenberg")
+        plt.colorbar()
+        out = __file__.replace(".py", f"_L{L}.png")
+        plt.tight_layout()
+        plt.savefig(out, dpi=120)
+        print("wrote", out)
+    except ImportError:
+        pass
+    return S, E0
+
+
+if __name__ == "__main__":
+    main()

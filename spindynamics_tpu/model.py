@@ -297,12 +297,14 @@ def build_model(
         diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
         nbr = None
         if build_neighbor_table and hop_i.shape[0] > 0:
-            try:
-                from .utils.native import native_ell_table
+            if mode == "sector":
+                # native builder uses the combinadic rank — sector bases only
+                try:
+                    from .utils.native import native_ell_table
 
-                nbr = native_ell_table(states, hop_i, hop_j)
-            except Exception:
-                nbr = None
+                    nbr = native_ell_table(states, hop_i, hop_j)
+                except Exception:
+                    nbr = None
             if nbr is None:
                 nbr = _build_ell_table(states, hop_i, hop_j)
         states_d = jnp.asarray(states)

@@ -96,33 +96,36 @@ def _tensor_axis(L: int, bit: int) -> int:
 def apply_H_tensor(psi: jax.Array, model: SpinModel) -> jax.Array:
     """Full-mode matvec with zero gathers: psi[idx ^ mask] == double axis-flip.
 
-    For each hopping bond, reshape psi to a rank-L tensor of 2s; XOR-ing bits
-    (i, j) of the index is `jnp.flip` over the two corresponding axes; the
-    bits-differ condition is an elementwise mask that broadcasts from a
-    (2, 2) pattern. Everything is VPU/bandwidth work XLA fuses per bond."""
+    For each hopping bond on bits (i < j), view psi as a 5-D tensor
+    (hi, 2, mid, 2, lo) with the two singled-out axes at bit positions j and i;
+    XOR-ing both bits of the index is `jnp.flip` over those two length-2 axes,
+    and the bits-differ condition broadcasts from a (2, 2) pattern. Everything
+    is reshape/flip/elementwise — VPU bandwidth work, no gathers, and the
+    minimal-rank view keeps XLA happy (a rank-L view would not)."""
     if model.mode != "full":
         raise ValueError("tensor backend requires full mode")
     L = model.L
-    shape = (2,) * L
-    t = psi.reshape(shape)
-    out = (model.diag.astype(psi.dtype) * psi).reshape(shape)
+    out = model.diag.astype(psi.dtype) * psi
     hop_i = np.asarray(model.hop_i)
     hop_j = np.asarray(model.hop_j)
     hop_J = np.asarray(model.hop_J)
+    mask22 = (
+        jax.lax.broadcasted_iota(jnp.int32, (2, 1, 2), 0)
+        != jax.lax.broadcasted_iota(jnp.int32, (2, 1, 2), 2)
+    ).astype(psi.dtype)[None, :, :, :, None]
     for b in range(hop_i.shape[0]):
-        ai = _tensor_axis(L, int(hop_i[b]))
-        aj = _tensor_axis(L, int(hop_j[b]))
-        flipped = jnp.flip(jnp.flip(t, axis=ai), axis=aj)
-        # differ mask: coordinate along ai != coordinate along aj
-        mshape = [1] * L
-        mshape[ai] = 2
-        ci = jax.lax.broadcasted_iota(jnp.int32, tuple(mshape), ai)
-        mshape2 = [1] * L
-        mshape2[aj] = 2
-        cj = jax.lax.broadcasted_iota(jnp.int32, tuple(mshape2), aj)
-        differ = (ci != cj).astype(psi.dtype)
-        out = out + (psi.dtype.type(float(hop_J[b])) * differ) * flipped
-    return out.reshape(-1)
+        lo_bit = int(min(hop_i[b], hop_j[b]))
+        hi_bit = int(max(hop_i[b], hop_j[b]))
+        # index = hi * 2^{hi_bit+1} + bj * 2^{hi_bit} + mid * 2^{lo_bit+1} + bi * 2^{lo_bit} + lo
+        lo = 1 << lo_bit
+        mid = 1 << (hi_bit - lo_bit - 1)
+        hi = 1 << (L - 1 - hi_bit)
+        t = psi.reshape(hi, 2, mid, 2, lo)
+        flipped = jnp.flip(jnp.flip(t, axis=1), axis=3)
+        out = out + (
+            psi.dtype.type(float(hop_J[b])) * (mask22 * flipped)
+        ).reshape(-1)
+    return out
 
 
 def apply_H(psi: jax.Array, model: SpinModel, backend: str | None = None) -> jax.Array:

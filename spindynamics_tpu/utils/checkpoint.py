@@ -1,0 +1,62 @@
+"""Checkpoint / resume for long runs (the reference has none — SURVEY.md §5).
+
+Saves (possibly sharded) state vectors plus solver metadata. Uses orbax when
+available (multi-host-safe for sharded arrays); falls back to host-gathered
+.npz files for single-process runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+__all__ = ["save_checkpoint", "load_checkpoint"]
+
+
+def save_checkpoint(path: str, psi: jax.Array, meta: dict[str, Any] | None = None,
+                    extra_arrays: dict[str, Any] | None = None) -> None:
+    """Persist a state vector + metadata (e.g. step count, (alpha, beta) Lanczos
+    history) to `path` (a directory)."""
+    os.makedirs(path, exist_ok=True)
+    meta = dict(meta or {})
+    extra = {k: np.asarray(v) for k, v in (extra_arrays or {}).items()}
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        tree = {"psi": psi, **{f"extra_{k}": v for k, v in extra.items()}}
+        ckptr.save(os.path.join(path, "arrays"), tree, force=True)
+        meta["_format"] = "orbax"
+    except Exception:
+        np.savez(os.path.join(path, "arrays.npz"), psi=np.asarray(psi), **extra)
+        meta["_format"] = "npz"
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path: str, sharding=None):
+    """Returns (psi, meta, extra_arrays). Pass `sharding` to restore the state
+    vector directly into a sharded layout."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("_format") == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        tree = ckptr.restore(os.path.join(path, "arrays"))
+        psi = tree.pop("psi")
+        extra = {k[len("extra_"):]: v for k, v in tree.items()}
+    else:
+        data = np.load(os.path.join(path, "arrays.npz"))
+        psi = data["psi"]
+        extra = {k: data[k] for k in data.files if k != "psi"}
+    import jax.numpy as jnp
+
+    psi = jnp.asarray(psi)
+    if sharding is not None:
+        psi = jax.device_put(psi, sharding)
+    return psi, meta, extra
