@@ -61,7 +61,7 @@ class SpinModel:
     # --- static metadata ---
     L: int
     nup: int | None
-    mode: str  # 'full' | 'sector'
+    mode: str  # 'full' | 'sector' | 'embedded'
     # --- array leaves ---
     states: jax.Array  # uint32 [N]
     diag: jax.Array  # real  [N]   precomputed diagonal of H
@@ -90,7 +90,18 @@ class SpinModel:
         return self.n_valid if self.n_valid is not None else self.states.shape[0]
 
     def valid_mask(self):
-        """Boolean [n_states] mask of logical rows, or None if unpadded."""
+        """Boolean [n_states] mask of logical rows.
+
+        None if every row is logical. For sharding-padded models: index < n_valid.
+        For 'embedded' mode (sector physics run in the full 2^L space on the
+        gather-free flip backend): popcount(state) == nup — the U(1) sector is an
+        exact invariant subspace of H, so zeroing the complement once at state
+        preparation keeps the entire computation in-sector."""
+        if self.mode == "embedded":
+            m = jax.lax.population_count(self.states.astype(jnp.uint32)) == self.nup
+            if self.n_valid is not None:
+                m = jnp.logical_and(m, jnp.arange(self.states.shape[0]) < self.n_valid)
+            return m
         if self.n_valid is None:
             return None
         return jnp.arange(self.states.shape[0]) < self.n_valid
@@ -248,6 +259,7 @@ def build_model(
     dtype=jnp.float32,
     build_neighbor_table: bool | None = None,
     device_build: bool | None = None,
+    layout: str = "compact",
 ) -> SpinModel:
     """Create a SpinModel (ref: src/SpinModel.jl:23-38 `build_model`).
 
@@ -255,7 +267,35 @@ def build_model(
     `build_neighbor_table` controls the ELL table (default: on for sector mode,
     off for full mode, where the XOR index needs no table).
     `device_build` moves basis enumeration + table construction onto the
-    accelerator (default: automatically for large sectors on non-CPU backends)."""
+    accelerator (default: automatically for large sectors on non-CPU backends).
+    `layout='embedded'` (with nup set) runs the sector embedded in the full 2^L
+    space on the gather-free flip backend — the fast path on TPU, trading
+    ~sqrt(L) memory overhead for a matvec with zero gathers; the sector is an
+    exact invariant subspace, see SpinModel.valid_mask."""
+    if layout not in ("compact", "embedded"):
+        raise ValueError(f"unknown layout {layout!r}")
+    if layout == "embedded":
+        if nup is None:
+            raise ValueError("layout='embedded' requires nup")
+        states = basis_mod.build_full_basis(L)
+        binom = basis_mod.binomial_table(L, nup)
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+        hop_i, hop_j, hop_J = _couplings_to_arrays(hopping, L, np_dtype)
+        zz_i, zz_j, zz_J = _couplings_to_arrays(zz, L, np_dtype)
+        field = (
+            np.zeros(L, np_dtype)
+            if onsite_field is None
+            else np.asarray(onsite_field, dtype=np_dtype)
+        )
+        diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
+        dev = lambda x: jnp.asarray(x)
+        return SpinModel(
+            L=L, nup=nup, mode="embedded",
+            states=dev(states), diag=dev(diag), field=dev(field),
+            hop_i=dev(hop_i), hop_j=dev(hop_j), hop_J=dev(hop_J),
+            zz_i=dev(zz_i), zz_j=dev(zz_j), zz_J=dev(zz_J),
+            nbr=None, binom=dev(binom.astype(np.int32)),
+        )
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     hop_i, hop_j, hop_J = _couplings_to_arrays(hopping, L, np_dtype)
     zz_i, zz_j, zz_J = _couplings_to_arrays(zz, L, np_dtype)

@@ -50,7 +50,12 @@ def polarized_bitstring(model: SpinModel, up: bool = True) -> int:
 
 def state_index(model: SpinModel, bitstring: int) -> int:
     """Basis index of an encoded bitstring (combinadic rank; replaces Dict lookup)."""
-    if model.mode == "full":
+    if model.mode in ("full", "embedded"):
+        if model.mode == "embedded" and bin(bitstring).count("1") != model.nup:
+            raise ValueError(
+                f"state {bitstring:#x} has wrong magnetization for embedded sector"
+                f" nup={model.nup}"
+            )
         return int(bitstring)
     if bin(bitstring).count("1") != model.nup:
         raise ValueError(

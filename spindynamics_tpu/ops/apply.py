@@ -102,8 +102,8 @@ def apply_H_tensor(psi: jax.Array, model: SpinModel) -> jax.Array:
     and the bits-differ condition broadcasts from a (2, 2) pattern. Everything
     is reshape/flip/elementwise — VPU bandwidth work, no gathers, and the
     minimal-rank view keeps XLA happy (a rank-L view would not)."""
-    if model.mode != "full":
-        raise ValueError("tensor backend requires full mode")
+    if model.mode not in ("full", "embedded"):
+        raise ValueError("tensor backend requires a full-space layout")
     L = model.L
     out = model.diag.astype(psi.dtype) * psi
     hop_i = np.asarray(model.hop_i)
@@ -131,7 +131,10 @@ def apply_H_tensor(psi: jax.Array, model: SpinModel) -> jax.Array:
 def apply_H(psi: jax.Array, model: SpinModel, backend: str | None = None) -> jax.Array:
     """H|psi> (ref: src/Hamiltonian.jl:119 `apply_H!`). Dispatches by mode/backend."""
     if backend is None:
-        backend = "tensor" if (model.mode == "full" and model.nbr is None) else "ell"
+        if model.mode == "embedded" or (model.mode == "full" and model.nbr is None):
+            backend = "tensor"
+        else:
+            backend = "ell"
     if backend == "ell":
         return apply_H_ell(psi, model)
     if backend == "tensor":

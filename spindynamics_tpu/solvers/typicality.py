@@ -58,6 +58,9 @@ def thermal_state(
     rdtype = jnp.zeros(0, dtype).real.dtype
     kr, ki = jax.random.split(key)
     r = jax.random.normal(kr, (N,), rdtype) + 1j * jax.random.normal(ki, (N,), rdtype)
+    mask = model.valid_mask()
+    if mask is not None:
+        r = jnp.where(mask, r, 0)  # keep the sample in the logical subspace
     r = r.astype(dtype) / jnp.linalg.norm(r).astype(dtype)
     matvec = matvec_fn(model, backend)
     psi_b = krylov_imaginary_time_evolve(r, matvec, beta / 2.0, kry_m=kry_m)
