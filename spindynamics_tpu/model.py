@@ -44,7 +44,7 @@ __all__ = ["SpinModel", "build_model", "nn_hopping", "long_range_hopping"]
         "nbr",
         "binom",
     ],
-    meta_fields=["L", "nup", "mode", "n_valid"],
+    meta_fields=["L", "nup", "mode", "n_valid", "hop_sites", "zz_sites"],
 )
 @dataclasses.dataclass(frozen=True)
 class SpinModel:
@@ -78,6 +78,11 @@ class SpinModel:
     # (pad rows have diag=0, nbr=-1 and are an exact invariant null subspace).
     # None means "no padding": dim == n_states.
     n_valid: int | None = None
+    # Static copies of the coupling site pairs: the flip backend derives its
+    # reshape structure from these at trace time (the traced hop_i/hop_j arrays
+    # cannot drive Python-level graph construction).
+    hop_sites: tuple = ()
+    zz_sites: tuple = ()
 
     @property
     def n_states(self) -> int:
@@ -295,6 +300,8 @@ def build_model(
             hop_i=dev(hop_i), hop_j=dev(hop_j), hop_J=dev(hop_J),
             zz_i=dev(zz_i), zz_j=dev(zz_j), zz_J=dev(zz_J),
             nbr=None, binom=dev(binom.astype(np.int32)),
+            hop_sites=tuple(zip(hop_i.tolist(), hop_j.tolist())),
+            zz_sites=tuple(zip(zz_i.tolist(), zz_j.tolist())),
         )
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     hop_i, hop_j, hop_J = _couplings_to_arrays(hopping, L, np_dtype)
@@ -367,4 +374,6 @@ def build_model(
         zz_J=dev(zz_J),
         nbr=nbr_d,
         binom=dev(binom.astype(np.int32)),
+        hop_sites=tuple(zip(hop_i.tolist(), hop_j.tolist())),
+        zz_sites=tuple(zip(zz_i.tolist(), zz_j.tolist())),
     )

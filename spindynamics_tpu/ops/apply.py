@@ -106,25 +106,22 @@ def apply_H_tensor(psi: jax.Array, model: SpinModel) -> jax.Array:
         raise ValueError("tensor backend requires a full-space layout")
     L = model.L
     out = model.diag.astype(psi.dtype) * psi
-    hop_i = np.asarray(model.hop_i)
-    hop_j = np.asarray(model.hop_j)
-    hop_J = np.asarray(model.hop_J)
+    rdtype = psi.real.dtype
     mask22 = (
         jax.lax.broadcasted_iota(jnp.int32, (2, 1, 2), 0)
         != jax.lax.broadcasted_iota(jnp.int32, (2, 1, 2), 2)
-    ).astype(psi.dtype)[None, :, :, :, None]
-    for b in range(hop_i.shape[0]):
-        lo_bit = int(min(hop_i[b], hop_j[b]))
-        hi_bit = int(max(hop_i[b], hop_j[b]))
+    ).astype(rdtype)[None, :, :, :, None]
+    for b, (si, sj) in enumerate(model.hop_sites):
+        lo_bit = min(si, sj)
+        hi_bit = max(si, sj)
         # index = hi * 2^{hi_bit+1} + bj * 2^{hi_bit} + mid * 2^{lo_bit+1} + bi * 2^{lo_bit} + lo
         lo = 1 << lo_bit
         mid = 1 << (hi_bit - lo_bit - 1)
         hi = 1 << (L - 1 - hi_bit)
         t = psi.reshape(hi, 2, mid, 2, lo)
         flipped = jnp.flip(jnp.flip(t, axis=1), axis=3)
-        out = out + (
-            psi.dtype.type(float(hop_J[b])) * (mask22 * flipped)
-        ).reshape(-1)
+        J_b = model.hop_J[b].astype(rdtype)  # traced scalar — jit-safe
+        out = out + (J_b * (mask22 * flipped)).reshape(-1)
     return out
 
 
@@ -132,13 +129,17 @@ def apply_H(psi: jax.Array, model: SpinModel, backend: str | None = None) -> jax
     """H|psi> (ref: src/Hamiltonian.jl:119 `apply_H!`). Dispatches by mode/backend."""
     if backend is None:
         if model.mode == "embedded" or (model.mode == "full" and model.nbr is None):
-            backend = "tensor"
+            backend = "blocked"
         else:
             backend = "ell"
     if backend == "ell":
         return apply_H_ell(psi, model)
     if backend == "tensor":
         return apply_H_tensor(psi, model)
+    if backend == "blocked":
+        from .blocked import apply_H_blocked
+
+        return apply_H_blocked(psi, model)
     if backend == "pallas":
         from .pallas_matvec import apply_H_pallas
 

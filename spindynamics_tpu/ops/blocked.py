@@ -1,0 +1,264 @@
+"""Blocked full-space matvec: the TPU-native formulation of H|psi>.
+
+View psi as a 3-D tensor [B, T, W] (W = 2^w lanes-dim, T = 2^t sublanes-dim,
+B = 2^(L-w-t) major dim). Every hopping bond XORs two index bits; by WHERE those
+bits live the bond becomes one of:
+
+  - both bits in the w low bits   -> folded into ONE one-hot matrix M_cols
+                                     [W, W]: all such bonds apply as a single
+                                     MXU matmul  x @ M_cols  (the bits-differ
+                                     mask depends only on the column index, so
+                                     it folds into the matrix).
+  - both bits in the t middle bits-> folded into M_rows [T, T]: one MXU matmul
+                                     over the sublane axis.
+  - any bit in the B major bits   -> jnp.flip on (reshaped) major axes — a
+                                     layout-level half-swap XLA executes at
+                                     bandwidth — times an elementwise mask.
+  - mixed (cut bonds)             -> composition: single-bit column/row one-hot
+                                     matmul and/or major flip, with the mask
+                                     applied elementwise (a bond has at most
+                                     one bit per space).
+
+Why: per-element gathers run at ~1 GB/s on TPU and lane-dim flips at ~16 GB/s
+(measured); one-hot matmuls on the MXU and major-axis flips run at memory
+bandwidth. This replaces both the ELL-gather backend and the naive flip
+backend as the fast path for full/embedded layouts.
+
+The bits-differ masks are built from broadcasted iotas on factored shapes, so
+XLA fuses them into the accumulation for free.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model import SpinModel
+
+__all__ = ["BlockedPlan", "make_blocked_plan", "apply_H_blocked"]
+
+
+class BlockedPlan:
+    """Precomputed structure for the blocked matvec of one model.
+
+    Holds only STATIC structure (one-hot bases and bond classification); the
+    coupling values stay in model.hop_J so the model can be a traced jit
+    argument — the weighted matrices are contracted in-graph (cheap: the bases
+    are tiny)."""
+
+    def __init__(self, L, w, t, cols_stack, cols_idx, rows_stack, rows_idx, special):
+        self.L = L
+        self.w = w  # lane bits
+        self.t = t  # sublane bits
+        self.cols_stack = cols_stack  # [n_cb, W, W] unweighted masked one-hots
+        self.cols_idx = cols_idx  # int32 [n_cb] indices into hop_J
+        self.rows_stack = rows_stack  # [n_rb, T, T]
+        self.rows_idx = rows_idx
+        # list of (bond_idx, m_col, m_row, m_blk, bit_i, bit_j) not folded
+        self.special = special
+
+    @property
+    def W(self):
+        return 1 << self.w
+
+    @property
+    def T(self):
+        return 1 << self.t
+
+
+def _differ_mask_1d(nbits: int, bit_a: int, bit_b: int) -> np.ndarray:
+    """mask[c] = bit_a(c) != bit_b(c), both bits within an nbits index."""
+    c = np.arange(1 << nbits)
+    return (((c >> bit_a) ^ (c >> bit_b)) & 1).astype(np.float32)
+
+
+def _onehot_flip_matrix(nbits: int, m: int, mask_bits=None) -> np.ndarray:
+    """M[src, dst] = differ(dst) * [src == dst ^ m] for dst-space masks."""
+    n = 1 << nbits
+    dst = np.arange(n)
+    src = dst ^ m
+    M = np.zeros((n, n), dtype=np.float32)
+    if mask_bits is not None:
+        mask = _differ_mask_1d(nbits, *mask_bits)
+    else:
+        mask = np.ones(n, dtype=np.float32)
+    M[src, dst] = mask
+    return M
+
+
+def _plan_cache_key(model: SpinModel, w: int, t: int):
+    return (model.L, model.hop_sites, w, t)
+
+
+_PLAN_CACHE: dict = {}
+
+
+def make_blocked_plan(model: SpinModel, w: int | None = None, t: int | None = None
+                      ) -> BlockedPlan:
+    """Classify bonds into (col-matmul, row-matmul, special) for the [B, T, W]
+    view. Defaults: w = min(8, L-?), t chosen so T <= 256 and B >= 1."""
+    L = model.L
+    if w is None:
+        w = min(8, L - 2)
+    if t is None:
+        t = min(8, L - w - 1) if L - w - 1 > 0 else 0
+    key = _plan_cache_key(model, w, t)
+    if key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
+
+    W, T = 1 << w, 1 << t
+    cols, cols_idx, rows, rows_idx = [], [], [], []
+    special = []
+    for b, (si, sj) in enumerate(model.hop_sites):
+        i, j = min(si, sj), max(si, sj)
+        if j < w:
+            # both bits in lane space: fold; mask depends only on columns
+            cols.append(_onehot_flip_matrix(w, (1 << i) | (1 << j), (i, j)))
+            cols_idx.append(b)
+        elif i >= w and j < w + t:
+            # mid matmul is out[dst] = sum_src M[dst, src] x[src]: transpose
+            # the (src, dst)-oriented one-hot build
+            rows.append(
+                _onehot_flip_matrix(
+                    t, (1 << (i - w)) | (1 << (j - w)), (i - w, j - w)
+                ).T.copy()
+            )
+            rows_idx.append(b)
+        else:
+            m = (1 << i) | (1 << j)
+            m_col = m & (W - 1)
+            m_row = (m >> w) & (T - 1)
+            m_blk = m >> (w + t)
+            special.append((b, m_col, m_row, m_blk, i, j))
+
+    plan = BlockedPlan(
+        L,
+        w,
+        t,
+        jnp.asarray(np.stack(cols)) if cols else None,
+        jnp.asarray(np.asarray(cols_idx, np.int32)) if cols else None,
+        jnp.asarray(np.stack(rows)) if rows else None,
+        jnp.asarray(np.asarray(rows_idx, np.int32)) if rows else None,
+        special,
+    )
+    _PLAN_CACHE[key] = plan
+    return plan
+
+
+def _axis_bit(space: str, bit: int, B: int, T: int, W: int, dtype):
+    """0/1 broadcastable array reading one bit of the [B, T, W] index."""
+    if space == "w":
+        ar = ((jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2) >> bit) & 1)
+    elif space == "t":
+        ar = ((jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1) >> bit) & 1)
+    else:
+        ar = ((jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0) >> bit) & 1)
+    return ar.astype(dtype)
+
+
+def _global_bit(bit: int, w: int, t: int, B: int, T: int, W: int, dtype):
+    if bit < w:
+        return _axis_bit("w", bit, B, T, W, dtype)
+    if bit < w + t:
+        return _axis_bit("t", bit - w, B, T, W, dtype)
+    return _axis_bit("b", bit - w - t, B, T, W, dtype)
+
+
+def _flip_axis_bits(x3: jax.Array, axis: int, m: int, nbits: int) -> jax.Array:
+    """XOR the index along `axis` (length 2^nbits) by mask m, via per-bit
+    reshape+flip on MAJOR axes only (cheap layout ops)."""
+    out = x3
+    for k in range(nbits):
+        if not (m >> k) & 1:
+            continue
+        shape = out.shape
+        n = shape[axis]
+        lead = shape[:axis]
+        trail = shape[axis + 1 :]
+        hi = n // (2 << k)
+        lo = 1 << k
+        out = out.reshape(lead + (hi, 2, lo) + trail)
+        out = jnp.flip(out, axis=len(lead) + 1)
+        out = out.reshape(shape)
+    return out
+
+
+def apply_H_blocked(psi: jax.Array, model: SpinModel,
+                    plan: BlockedPlan | None = None) -> jax.Array:
+    """H|psi> for full/embedded layouts via the blocked formulation."""
+    if model.mode not in ("full", "embedded"):
+        raise ValueError("blocked backend requires a full-space layout")
+    if plan is None:
+        plan = make_blocked_plan(model)
+    L, w, t = plan.L, plan.w, plan.t
+    W, T = plan.W, plan.T
+    B = 1 << (L - w - t)
+    rdtype = psi.real.dtype
+
+    x3 = psi.reshape(B, T, W)
+    out = (model.diag.astype(psi.dtype) * psi).reshape(B, T, W)
+    hop_J = model.hop_J.astype(rdtype)
+
+    if plan.cols_stack is not None:
+        # weight the static one-hot bases by the (possibly traced) couplings
+        M = jnp.einsum("k,kwv->wv", hop_J[plan.cols_idx],
+                       plan.cols_stack.astype(rdtype))
+        out = out + _matmul_last(x3, M)
+    if plan.rows_stack is not None:
+        M = jnp.einsum("k,krs->rs", hop_J[plan.rows_idx],
+                       plan.rows_stack.astype(rdtype))
+        out = out + _matmul_mid(x3, M)
+
+    for (b, m_col, m_row, m_blk, bi, bj) in plan.special:
+        y = x3
+        if m_blk:
+            y = _flip_axis_bits(y, 0, m_blk, L - w - t)
+        if m_row:
+            y = _matmul_mid(y, _perm_matrix(t, m_row, rdtype))
+        if m_col:
+            y = _matmul_last(y, _perm_matrix(w, m_col, rdtype))
+        mask = jnp.abs(
+            _global_bit(bi, w, t, B, T, W, rdtype)
+            - _global_bit(bj, w, t, B, T, W, rdtype)
+        )
+        out = out + hop_J[b] * (mask * y)
+    return out.reshape(-1)
+
+
+_PERM_CACHE: dict = {}
+
+
+def _perm_matrix(nbits: int, m: int, dtype):
+    key = (nbits, m, jnp.dtype(dtype).name)
+    if key not in _PERM_CACHE:
+        n = 1 << nbits
+        dst = np.arange(n)
+        M = np.zeros((n, n), dtype=np.float32)
+        M[dst ^ m, dst] = 1.0
+        _PERM_CACHE[key] = jnp.asarray(M, dtype)
+    return _PERM_CACHE[key]
+
+
+def _matmul_last(x3, M):
+    """einsum('btw,wv->btv') on the MXU; complex handled as two real matmuls."""
+    if jnp.iscomplexobj(x3):
+        re = jnp.einsum("btw,wv->btv", x3.real, M,
+                        preferred_element_type=x3.real.dtype)
+        im = jnp.einsum("btw,wv->btv", x3.imag, M,
+                        preferred_element_type=x3.real.dtype)
+        return re + 1j * im
+    return jnp.einsum("btw,wv->btv", x3, M, preferred_element_type=x3.dtype)
+
+
+def _matmul_mid(x3, M):
+    """einsum('rs,bsw->brw') on the MXU (sublane axis)."""
+    if jnp.iscomplexobj(x3):
+        re = jnp.einsum("rs,bsw->brw", M, x3.real,
+                        preferred_element_type=x3.real.dtype)
+        im = jnp.einsum("rs,bsw->brw", M, x3.imag,
+                        preferred_element_type=x3.real.dtype)
+        return re + 1j * im
+    return jnp.einsum("rs,bsw->brw", M, x3, preferred_element_type=x3.dtype)
