@@ -1,0 +1,203 @@
+"""Pallas TPU kernel: fused blocked matvec (single pass over HBM).
+
+The XLA blocked backend (ops/blocked.py) issues one accumulation pass per
+"special" (block-space) bond, so H|psi> costs ~2 + 2*n_special memory passes.
+This kernel fuses EVERYTHING — diagonal, the lane-space one-hot matmul, the
+sublane-space matmul, and every block-space bond — into one pallas_call:
+each output block is computed from its own block plus the partner blocks the
+block-space bonds need, all streamed through VMEM by the Pallas pipeline
+(partner blocks are addressed by XOR-ing the grid index in the BlockSpec
+index_map, so the pipeline double-buffers them automatically).
+
+Memory traffic: read (1 + n_special) blocks + write 1 block per output block —
+the minimum any implementation of this operator family can do with
+block-partner structure — versus ~2 + 2*n_special passes for the unfused path.
+
+Restrictions (fall back to ops/blocked.py otherwise):
+  - full/embedded layout, L >= w + t + 1
+  - every special bond's lane-space component is 0 or W/2 (true for
+    nearest-neighbour chains; long-range bonds with low-bit lane components
+    would need sub-128-lane shuffles).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..model import SpinModel
+from .blocked import BlockedPlan, make_blocked_plan
+
+__all__ = ["apply_H_pallas", "pallas_supported"]
+
+
+def pallas_supported(model: SpinModel, plan: BlockedPlan | None = None) -> bool:
+    if model.mode not in ("full", "embedded"):
+        return False
+    if plan is None:
+        plan = make_blocked_plan(model)
+    if model.L < plan.w + plan.t + 1:
+        return False
+    W = plan.W
+    for (_, m_col, m_row, m_blk, _, _) in plan.special:
+        if m_col not in (0, W // 2):
+            return False
+    return True
+
+
+def _row_xor(y, m_row: int, T: int):
+    """XOR the sublane index of y [T, W] by m_row via reshape+flip per bit."""
+    W = y.shape[-1]
+    for k in range(T.bit_length() - 1):
+        if not (m_row >> k) & 1:
+            continue
+        y = y.reshape(T // (2 << k), 2, (1 << k) * W)
+        y = jnp.flip(y, axis=1)
+        y = y.reshape(T, W)
+    return y
+
+
+def _col_xor_top(y, W: int):
+    """XOR the top lane bit: swap the two 128-aligned lane halves."""
+    T = y.shape[0]
+    y = y.reshape(T, 2, W // 2)
+    y = jnp.flip(y, axis=1)
+    return y.reshape(T, W)
+
+
+def _make_kernel(plan: BlockedPlan, L: int, n_special: int):
+    w, t = plan.w, plan.t
+    T, W = plan.T, plan.W
+    specials = plan.special
+
+    def bit_value(bit: int, b):
+        """0/1 (array or scalar) for one global index bit at block index b."""
+        if bit < w:
+            return (
+                (jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) >> bit) & 1
+            ).astype(jnp.float32)
+        if bit < w + t:
+            return (
+                (jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) >> (bit - w)) & 1
+            ).astype(jnp.float32)
+        return ((b >> (bit - w - t)) & 1).astype(jnp.float32)
+
+    def kernel(J_ref, diag_ref, own_ref, *refs):
+        partner_refs = refs[:n_special]
+        M_cols_ref, M_rows_ref, out_ref = refs[n_special:]
+        b = pl.program_id(1)
+        own = own_ref[0, 0]
+        acc = diag_ref[0, 0] * own
+        acc += jnp.dot(own, M_cols_ref[...], preferred_element_type=jnp.float32)
+        acc += jnp.dot(M_rows_ref[...], own, preferred_element_type=jnp.float32)
+        for k, (bidx, m_col, m_row, m_blk, bi, bj) in enumerate(specials):
+            y = partner_refs[k][0, 0]
+            if m_row:
+                y = _row_xor(y, m_row, T)
+            if m_col:
+                y = _col_xor_top(y, W)
+            mask = jnp.abs(bit_value(bi, b) - bit_value(bj, b))
+            acc += J_ref[0, k] * (mask * y)
+        out_ref[0, 0] = acc
+
+    return kernel
+
+
+def apply_H_pallas(
+    psi: jax.Array,
+    model: SpinModel,
+    plan: BlockedPlan | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """H|psi> through the fused Pallas kernel (falls back to blocked XLA when
+    the structure is unsupported). Complex input runs real and imaginary planes
+    through one pallas_call via a leading plane axis."""
+    if plan is None:
+        plan = make_blocked_plan(model)
+    if not pallas_supported(model, plan):
+        from .blocked import apply_H_blocked
+
+        return apply_H_blocked(psi, model, plan)
+
+    L, w, t = plan.L, plan.w, plan.t
+    T, W = plan.T, plan.W
+    B = 1 << (L - w - t)
+    rdtype = jnp.float32
+    specials = plan.special
+    n_special = len(specials)
+
+    hop_J = model.hop_J.astype(rdtype)
+    if plan.cols_stack is not None:
+        M_cols = jnp.einsum(
+            "k,kwv->wv", hop_J[plan.cols_idx], plan.cols_stack.astype(rdtype)
+        )
+    else:
+        M_cols = jnp.zeros((W, W), rdtype)
+    if plan.rows_stack is not None:
+        M_rows = jnp.einsum(
+            "k,krs->rs", hop_J[plan.rows_idx], plan.rows_stack.astype(rdtype)
+        )
+    else:
+        M_rows = jnp.zeros((T, T), rdtype)
+
+    J_special = (
+        hop_J[jnp.asarray([s[0] for s in specials], jnp.int32)].reshape(1, -1)
+        if n_special
+        else jnp.zeros((1, 1), rdtype)
+    )
+
+    is_complex = jnp.iscomplexobj(psi)
+    if is_complex:
+        planes = jnp.stack([psi.real.astype(rdtype), psi.imag.astype(rdtype)])
+        x = planes.reshape(2, B, T, W)
+        P = 2
+    else:
+        x = psi.astype(rdtype).reshape(1, B, T, W)
+        P = 1
+    diag = jnp.broadcast_to(
+        model.diag.astype(rdtype).reshape(1, B, T, W), (P, B, T, W)
+    )
+
+    blk = (1, 1, T, W)
+
+    def own_map(p, b):
+        return (p, b, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, n_special if n_special else 1), lambda p, b: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(blk, own_map, memory_space=pltpu.VMEM),  # diag
+        pl.BlockSpec(blk, own_map, memory_space=pltpu.VMEM),  # own
+    ]
+    inputs = [J_special, diag, x]
+    for (bidx, m_col, m_row, m_blk, bi, bj) in specials:
+        c = m_blk
+
+        def partner_map(p, b, c=c):
+            return (p, b ^ c, 0, 0)
+
+        in_specs.append(pl.BlockSpec(blk, partner_map, memory_space=pltpu.VMEM))
+        inputs.append(x)
+    in_specs.append(pl.BlockSpec((W, W), lambda p, b: (0, 0), memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((T, T), lambda p, b: (0, 0), memory_space=pltpu.VMEM))
+    inputs.extend([M_cols, M_rows])
+
+    kernel = _make_kernel(plan, L, n_special)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(P, B),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(blk, own_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, B, T, W), rdtype),
+        interpret=interpret,
+    )(*inputs)
+
+    if is_complex:
+        return (out[0] + 1j * out[1]).reshape(-1).astype(psi.dtype)
+    return out[0].reshape(-1).astype(psi.dtype)
