@@ -134,14 +134,16 @@ def make_blocked_plan(model: SpinModel, w: int | None = None, t: int | None = No
             m_blk = m >> (w + t)
             special.append((b, m_col, m_row, m_blk, i, j))
 
+    # Plan arrays stay HOST numpy: a plan may be built (and cached) inside a
+    # jit trace, and device arrays created there would leak as tracers.
     plan = BlockedPlan(
         L,
         w,
         t,
-        jnp.asarray(np.stack(cols)) if cols else None,
-        jnp.asarray(np.asarray(cols_idx, np.int32)) if cols else None,
-        jnp.asarray(np.stack(rows)) if rows else None,
-        jnp.asarray(np.asarray(rows_idx, np.int32)) if rows else None,
+        np.stack(cols) if cols else None,
+        np.asarray(cols_idx, np.int32) if cols else None,
+        np.stack(rows) if rows else None,
+        np.asarray(rows_idx, np.int32) if rows else None,
         special,
     )
     _PLAN_CACHE[key] = plan
@@ -204,12 +206,12 @@ def apply_H_blocked(psi: jax.Array, model: SpinModel,
 
     if plan.cols_stack is not None:
         # weight the static one-hot bases by the (possibly traced) couplings
-        M = jnp.einsum("k,kwv->wv", hop_J[plan.cols_idx],
-                       plan.cols_stack.astype(rdtype))
+        M = jnp.einsum("k,kwv->wv", hop_J[jnp.asarray(plan.cols_idx)],
+                       jnp.asarray(plan.cols_stack, rdtype))
         out = out + _matmul_last(x3, M)
     if plan.rows_stack is not None:
-        M = jnp.einsum("k,krs->rs", hop_J[plan.rows_idx],
-                       plan.rows_stack.astype(rdtype))
+        M = jnp.einsum("k,krs->rs", hop_J[jnp.asarray(plan.rows_idx)],
+                       jnp.asarray(plan.rows_stack, rdtype))
         out = out + _matmul_mid(x3, M)
 
     for (b, m_col, m_row, m_blk, bi, bj) in plan.special:
@@ -232,14 +234,14 @@ _PERM_CACHE: dict = {}
 
 
 def _perm_matrix(nbits: int, m: int, dtype):
-    key = (nbits, m, jnp.dtype(dtype).name)
+    key = (nbits, m)
     if key not in _PERM_CACHE:
         n = 1 << nbits
         dst = np.arange(n)
         M = np.zeros((n, n), dtype=np.float32)
         M[dst ^ m, dst] = 1.0
-        _PERM_CACHE[key] = jnp.asarray(M, dtype)
-    return _PERM_CACHE[key]
+        _PERM_CACHE[key] = M
+    return jnp.asarray(_PERM_CACHE[key], dtype)
 
 
 def _matmul_last(x3, M):

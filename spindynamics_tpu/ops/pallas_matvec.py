@@ -134,13 +134,15 @@ def apply_H_pallas(
     hop_J = model.hop_J.astype(rdtype)
     if plan.cols_stack is not None:
         M_cols = jnp.einsum(
-            "k,kwv->wv", hop_J[plan.cols_idx], plan.cols_stack.astype(rdtype)
+            "k,kwv->wv", hop_J[jnp.asarray(plan.cols_idx)],
+            jnp.asarray(plan.cols_stack, rdtype),
         )
     else:
         M_cols = jnp.zeros((W, W), rdtype)
     if plan.rows_stack is not None:
         M_rows = jnp.einsum(
-            "k,krs->rs", hop_J[plan.rows_idx], plan.rows_stack.astype(rdtype)
+            "k,krs->rs", hop_J[jnp.asarray(plan.rows_idx)],
+            jnp.asarray(plan.rows_stack, rdtype),
         )
     else:
         M_rows = jnp.zeros((T, T), rdtype)
