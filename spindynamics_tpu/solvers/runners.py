@@ -1,0 +1,81 @@
+"""High-level one-call wrappers (parity with the reference's run_* functions).
+
+The reference ships `run_chebyshev` (src/TimeEvolution/Chebyshev.jl:137-157),
+`run_krylov` (src/TimeEvolution/Krylov.jl:204-217 — broken: calls nonexistent
+*_sector observables, SURVEY.md §2.4-1) and `run_kpm_dynamical`
+(src/TimeEvolution/KPM.jl:254-267 — broken: nonexistent apply_H_sector!).
+These are the working equivalents: domain-wall start, one time step (or a
+trajectory), observables out.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..model import SpinModel
+from ..models.initial_states import domain_wall_state
+from ..observables import magnetization_per_site, structure_factor_Sq
+from ..ops.apply import matvec_fn
+from .chebyshev import chebyshev_coefficients, chebyshev_time_evolve
+from .krylov import krylov_time_evolve
+from .lanczos import estimate_energy_bounds
+
+__all__ = ["run_chebyshev", "run_krylov", "evolve_trajectory"]
+
+
+def run_chebyshev(model: SpinModel, dt: float, cheb_n: int = 50, lanc_m: int = 80,
+                  backend: str | None = None):
+    """Domain-wall start -> bounds -> one Chebyshev step -> magnetization + S(q)
+    (ref: src/TimeEvolution/Chebyshev.jl:137-157). Returns (mags, (q, Sq), bounds)."""
+    mv = matvec_fn(model, backend)
+    psi0 = domain_wall_state(model, dtype=jnp.complex64)
+    psi0 = psi0 / jnp.linalg.norm(psi0).astype(psi0.dtype)
+    bounds = estimate_energy_bounds(mv, model.n_states, lanc_m=lanc_m,
+                                    mask=model.valid_mask())
+    psi_t = chebyshev_time_evolve(psi0, mv, dt, bounds, cheb_n=cheb_n)
+    mags = magnetization_per_site(psi_t, model)
+    q, Sq = structure_factor_Sq(psi_t, model)
+    return mags, (q, Sq), bounds
+
+
+def run_krylov(model: SpinModel, dt: float, kry_m: int = 30,
+               backend: str | None = None):
+    """Working version of the reference's broken wrapper
+    (src/TimeEvolution/Krylov.jl:204-217). Returns (mags, (q, Sq))."""
+    mv = matvec_fn(model, backend)
+    psi0 = domain_wall_state(model, dtype=jnp.complex64)
+    psi0 = psi0 / jnp.linalg.norm(psi0).astype(psi0.dtype)
+    psi_t = krylov_time_evolve(psi0, mv, dt, kry_m=kry_m)
+    mags = magnetization_per_site(psi_t, model)
+    q, Sq = structure_factor_Sq(psi_t, model)
+    return mags, (q, Sq)
+
+
+def evolve_trajectory(model: SpinModel, psi0, dt: float, n_steps: int,
+                      method: str = "chebyshev", cheb_n: int = 30, kry_m: int = 30,
+                      Ebounds=None, backend: str | None = None,
+                      observe=magnetization_per_site):
+    """Evolve n_steps of size dt, recording `observe(psi, model)` per step.
+
+    The trajectory pattern of examples/example.jl:86-105, with the coefficient
+    precompute hoisted out of the step loop. Returns (psi_final, obs [n_steps, ...])."""
+    mv = matvec_fn(model, backend)
+    psi = jnp.asarray(psi0, jnp.result_type(jnp.asarray(psi0).dtype, jnp.complex64))
+    coeffs = None
+    if method == "chebyshev":
+        if Ebounds is None:
+            Ebounds = estimate_energy_bounds(mv, model.n_states,
+                                             mask=model.valid_mask())
+        coeffs = chebyshev_coefficients(dt, Ebounds[0], Ebounds[1], cheb_n)
+    obs = []
+    for _ in range(n_steps):
+        if method == "chebyshev":
+            psi = chebyshev_time_evolve(psi, mv, dt, Ebounds, cheb_n=cheb_n,
+                                        coeffs=coeffs)
+        elif method == "krylov":
+            psi = krylov_time_evolve(psi, mv, dt, kry_m=kry_m)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        obs.append(np.asarray(observe(psi, model)))
+    return psi, np.asarray(obs)
