@@ -43,31 +43,20 @@ def pallas_supported(model: SpinModel, plan: BlockedPlan | None = None) -> bool:
         plan = make_blocked_plan(model)
     if model.L < plan.w + plan.t + 1:
         return False
-    W = plan.W
-    for (_, m_col, m_row, m_blk, _, _) in plan.special:
-        if m_col not in (0, W // 2):
-            return False
     return True
 
 
-def _row_xor(y, m_row: int, T: int):
-    """XOR the sublane index of y [T, W] by m_row via reshape+flip per bit."""
-    W = y.shape[-1]
-    for k in range(T.bit_length() - 1):
-        if not (m_row >> k) & 1:
-            continue
-        y = y.reshape(T // (2 << k), 2, (1 << k) * W)
-        y = jnp.flip(y, axis=1)
-        y = y.reshape(T, W)
-    return y
+def _xor_perm(nbits: int, m: int) -> np.ndarray:
+    """One-hot permutation P with P[dst, src] = [src == dst ^ m].
 
-
-def _col_xor_top(y, W: int):
-    """XOR the top lane bit: swap the two 128-aligned lane halves."""
-    T = y.shape[0]
-    y = y.reshape(T, 2, W // 2)
-    y = jnp.flip(y, axis=1)
-    return y.reshape(T, W)
+    Mosaic has no rev/flip lowering, so in-kernel index-XOR transforms run as
+    MXU matmuls with these tiny one-hot matrices (exact in f32: each output
+    element is a single product with 1.0)."""
+    n = 1 << nbits
+    dst = np.arange(n)
+    P = np.zeros((n, n), dtype=np.float32)
+    P[dst, dst ^ m] = 1.0
+    return P
 
 
 def _make_kernel(plan: BlockedPlan, L: int, n_special: int):
@@ -89,18 +78,24 @@ def _make_kernel(plan: BlockedPlan, L: int, n_special: int):
 
     def kernel(J_ref, diag_ref, own_ref, *refs):
         partner_refs = refs[:n_special]
-        M_cols_ref, M_rows_ref, out_ref = refs[n_special:]
+        rest = refs[n_special:]
+        M_cols_ref, M_rows_ref = rest[0], rest[1]
+        perm_refs = rest[2:-1]
+        out_ref = rest[-1]
         b = pl.program_id(1)
         own = own_ref[0, 0]
         acc = diag_ref[0, 0] * own
         acc += jnp.dot(own, M_cols_ref[...], preferred_element_type=jnp.float32)
         acc += jnp.dot(M_rows_ref[...], own, preferred_element_type=jnp.float32)
+        pk = 0
         for k, (bidx, m_col, m_row, m_blk, bi, bj) in enumerate(specials):
             y = partner_refs[k][0, 0]
             if m_row:
-                y = _row_xor(y, m_row, T)
+                y = jnp.dot(perm_refs[pk][...], y, preferred_element_type=jnp.float32)
+                pk += 1
             if m_col:
-                y = _col_xor_top(y, W)
+                y = jnp.dot(y, perm_refs[pk][...], preferred_element_type=jnp.float32)
+                pk += 1
             mask = jnp.abs(bit_value(bi, b) - bit_value(bj, b))
             acc += J_ref[0, k] * (mask * y)
         out_ref[0, 0] = acc
@@ -188,6 +183,20 @@ def apply_H_pallas(
     in_specs.append(pl.BlockSpec((W, W), lambda p, b: (0, 0), memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec((T, T), lambda p, b: (0, 0), memory_space=pltpu.VMEM))
     inputs.extend([M_cols, M_rows])
+    # one-hot permutation operands for cut bonds (in order of kernel use)
+    for (bidx, m_col, m_row, m_blk, bi, bj) in specials:
+        if m_row:
+            in_specs.append(
+                pl.BlockSpec((T, T), lambda p, b: (0, 0), memory_space=pltpu.VMEM)
+            )
+            inputs.append(jnp.asarray(_xor_perm(t, m_row)))
+        if m_col:
+            in_specs.append(
+                pl.BlockSpec((W, W), lambda p, b: (0, 0), memory_space=pltpu.VMEM)
+            )
+            # right-multiplication: out[dst] = sum_src y[src] P[src, dst]
+            inputs.append(jnp.asarray(_xor_perm(w, m_col).T.copy()))
+
 
     kernel = _make_kernel(plan, L, n_special)
 

@@ -37,15 +37,17 @@ def test_pallas_complex(rng):
     assert np.abs(got - want).max() < 1e-4
 
 
-def test_pallas_fallback_long_range(rng):
-    """Long-range bonds with low lane bits -> graceful fallback to blocked XLA."""
+def test_pallas_long_range(rng):
+    """Long-range bonds: cut-bond permutations run as one-hot matmuls."""
     from spindynamics_tpu import long_range_xy_chain
 
     m = long_range_xy_chain(8, lambda i, j: 1.0 / (j - i), nup=None,
                             dtype=jnp.float64, build_neighbor_table=False)
     plan = make_blocked_plan(m, 3, 3)
-    assert not pallas_supported(m, plan)
+    assert pallas_supported(m, plan)
     H = build_dense_H(m)
     psi = rng.normal(size=m.n_states)
-    got = np.asarray(apply_H_pallas(jnp.asarray(psi), m, plan))
-    assert np.allclose(got, H @ psi, atol=1e-10)
+    got = np.asarray(
+        apply_H_pallas(jnp.asarray(psi, jnp.float32), m, plan, interpret=True)
+    )
+    assert np.abs(got - H @ psi).max() < 1e-4
