@@ -69,6 +69,7 @@ from .solvers.chebyshev import (
     chebyshev_time_evolve,
     get_kernel,
     jackson_kernel,
+    kpm_diagnostics,
     kpm_reconstruct,
     lorentz_kernel,
     rescaling_params,

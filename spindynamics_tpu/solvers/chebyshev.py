@@ -31,6 +31,7 @@ __all__ = [
     "lorentz_kernel",
     "get_kernel",
     "kpm_reconstruct",
+    "kpm_diagnostics",
     "chebyshev_coefficients",
     "chebyshev_time_evolve",
     "rescaling_params",
@@ -157,6 +158,38 @@ def kpm_reconstruct(
     if clip_nonneg:
         S = jnp.maximum(S, 0.0)
     return S
+
+
+def kpm_diagnostics(matvec_rescaled, phi, omega, a: float, b: float, M: int = 32):
+    """Structured KPM health check (replaces the reference's printf diagnostic
+    `debug_moments`, src/KPM_Sqw.jl:133-169): returns a dict of arrays/flags
+    instead of printing, per the observability plan in SURVEY.md §5.
+
+    Checks: x-range of omega inside [-1, 1], moment magnitudes, iterate-norm
+    growth (which signals eigenvalues escaping the rescaled interval)."""
+    omega = jnp.asarray(omega)
+    x = (omega - b) / a
+    mu = chebyshev_moments(matvec_rescaled, phi, M)
+
+    # norm of T_M(H~)|phi> — explodes iff spec(H~) escapes [-1, 1]
+    v_prev = phi
+    v_curr = matvec_rescaled(phi)
+
+    def step(carry, _):
+        v_prev, v_curr = carry
+        v_next = 2.0 * matvec_rescaled(v_curr) - v_prev
+        return (v_curr, v_next), jnp.linalg.norm(v_next)
+
+    _, norms = jax.lax.scan(step, (v_prev, v_curr), None, length=max(M - 2, 1))
+    return {
+        "x_min": float(jnp.min(x)),
+        "x_max": float(jnp.max(x)),
+        "x_in_range": bool(jnp.all(jnp.abs(x) <= 1.0)),
+        "moments": np.asarray(mu),
+        "max_abs_moment": float(jnp.max(jnp.abs(mu))),
+        "iterate_norms": np.asarray(norms),
+        "moments_bounded": float(jnp.max(jnp.abs(mu))) < 1e3,
+    }
 
 
 # -----------------------------------------------------------------------------

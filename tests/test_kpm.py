@@ -173,3 +173,21 @@ def test_correlation_matrix_matches_single_pair(setup):
         )
     )
     assert np.allclose(C[i, j], np.abs(S_pair), atol=1e-9)
+
+
+def test_kpm_diagnostics(setup):
+    from spindynamics_tpu import kpm_diagnostics
+
+    m, H, evals, evecs, a, b = setup
+    psi = domain_wall_state(m, dtype=jnp.complex128)
+    mvr = partial(apply_rescaled_H, model=m, a=a, b=b)
+    omega = np.linspace(evals[0], evals[-1], 50)
+    d = kpm_diagnostics(mvr, psi, omega, a, b, M=24)
+    assert d["x_in_range"]
+    assert d["moments_bounded"]
+    assert np.all(d["iterate_norms"] <= 1.0 + 1e-6)  # |T_n| <= 1 on [-1,1]
+    # bad rescaling (interval too small) must be flagged
+    d_bad = kpm_diagnostics(
+        partial(apply_rescaled_H, model=m, a=a / 10, b=b), psi, omega, a / 10, b, M=24
+    )
+    assert not d_bad["moments_bounded"] or not d_bad["x_in_range"]
