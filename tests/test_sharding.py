@@ -114,3 +114,31 @@ def test_sharded_full_mode_tensor(mesh):
     f = jax.jit(lambda p: apply_H(p, m, backend="tensor"))
     got = np.asarray(f(psi_sh))
     assert np.allclose(got, want, atol=1e-12)
+
+
+def test_sharded_blocked_backend(mesh):
+    """Blocked (matmul+flip) backend under row sharding: XLA SPMD turns the
+    major-axis flips into collective permutes; result must match single-device."""
+    m = xxz_chain(10, Jxy=1.0, Jz=0.3, nup=None, dtype=jnp.float64,
+                  build_neighbor_table=False)
+    rng = np.random.default_rng(3)
+    psi = jnp.asarray(rng.normal(size=m.n_states))
+    want = np.asarray(apply_H(psi, m, backend="blocked"))
+    psi_sh = shard_state(psi, mesh)
+    f = jax.jit(lambda p: apply_H(p, m, backend="blocked"))
+    got = np.asarray(f(psi_sh))
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_sharded_embedded_groundstate(mesh):
+    """Embedded layout + blocked backend + sharded psi: full ground-state solve."""
+    from spindynamics_tpu import lanczos_groundstate
+
+    m = xxz_chain(10, Jxy=1.0, Jz=0.5, nup=5, dtype=jnp.float64, layout="embedded")
+    mv = matvec_fn(m)
+    E0_ref, _, _ = lanczos_groundstate(mv, m.n_states, lanc_m=50,
+                                       dtype=jnp.float64, mask=m.valid_mask())
+    m_cmp = xxz_chain(10, Jxy=1.0, Jz=0.5, nup=5, dtype=jnp.float64)
+    E0_sec, _, _ = lanczos_groundstate(matvec_fn(m_cmp), m_cmp.n_states,
+                                       lanc_m=50, dtype=jnp.float64)
+    assert E0_ref == pytest.approx(E0_sec, abs=1e-9)
