@@ -37,7 +37,7 @@ def main():
     from spindynamics_tpu.ops.blocked import make_blocked_plan
 
     L = int(os.environ.get("BENCH_L", "24"))
-    backend = os.environ.get("BENCH_BACKEND", "blocked")
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
     R1 = int(os.environ.get("BENCH_REPS", "32"))
     R0 = 4
 

@@ -129,7 +129,9 @@ def apply_H(psi: jax.Array, model: SpinModel, backend: str | None = None) -> jax
     """H|psi> (ref: src/Hamiltonian.jl:119 `apply_H!`). Dispatches by mode/backend."""
     if backend is None:
         if model.mode == "embedded" or (model.mode == "full" and model.nbr is None):
-            backend = "blocked"
+            # fused Pallas kernel on accelerators; blocked XLA on CPU (where
+            # the Pallas interpreter would be the slowest path)
+            backend = "blocked" if jax.default_backend() == "cpu" else "pallas"
         else:
             backend = "ell"
     if backend == "ell":

@@ -118,6 +118,9 @@ def apply_H_pallas(
         from .blocked import apply_H_blocked
 
         return apply_H_blocked(psi, model, plan)
+    # no Mosaic on CPU: run the kernel through the Pallas interpreter
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
 
     L, w, t = plan.L, plan.w, plan.t
     T, W = plan.T, plan.W
