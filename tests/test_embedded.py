@@ -106,3 +106,27 @@ def test_embedded_thermal_state_stays_in_sector(models):
     psi_b, _ = thermal_state(m_emb, beta=1.0, kry_m=20, dtype=jnp.complex128)
     mask = np.asarray(m_emb.valid_mask())
     assert np.allclose(np.asarray(psi_b)[~mask], 0.0, atol=1e-13)
+
+
+def test_embedded_sqw_agrees(models):
+    """lanczos_sqw and kpm_sqw run identically on compact vs embedded layouts."""
+    import numpy as np
+    from spindynamics_tpu import kpm_sqw, lanczos_groundstate, lanczos_sqw
+
+    m_sec, m_emb = models
+    E_s, psi_s, _ = lanczos_groundstate(
+        matvec_fn(m_sec), m_sec.n_states, lanc_m=50, dtype=jnp.float64
+    )
+    E_e, psi_e, _ = lanczos_groundstate(
+        matvec_fn(m_emb), m_emb.n_states, lanc_m=50, dtype=jnp.float64,
+        mask=m_emb.valid_mask(),
+    )
+    q = [2 * np.pi / 8, np.pi]
+    omega = np.linspace(0, 3, 40)
+    S_s = lanczos_sqw(psi_s, m_sec, q, omega, lanc_m=40, eta=0.1)
+    S_e = lanczos_sqw(psi_e, m_emb, q, omega, lanc_m=40, eta=0.1)
+    assert np.allclose(S_s, S_e, atol=1e-6 + 1e-4 * S_s.max())
+
+    K_s = np.asarray(kpm_sqw(psi_s, m_sec, q, omega, a=5.0, b=0.0, kpm_m=64))
+    K_e = np.asarray(kpm_sqw(psi_e, m_emb, q, omega, a=5.0, b=0.0, kpm_m=64))
+    assert np.allclose(K_s, K_e, atol=1e-6 + 1e-4 * max(K_s.max(), 1e-9))
