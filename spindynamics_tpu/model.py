@@ -282,7 +282,11 @@ def build_model(
     if layout == "embedded":
         if nup is None:
             raise ValueError("layout='embedded' requires nup")
-        states = basis_mod.build_full_basis(L)
+        if L >= 30:
+            raise ValueError(
+                f"embedded layout at L={L} needs 2^{L} amplitudes; use the "
+                "compact sector layout (or shard over more chips)"
+            )
         binom = basis_mod.binomial_table(L, nup)
         np_dtype = np.dtype(jnp.dtype(dtype).name)
         hop_i, hop_j, hop_J = _couplings_to_arrays(hopping, L, np_dtype)
@@ -292,11 +296,41 @@ def build_model(
             if onsite_field is None
             else np.asarray(onsite_field, dtype=np_dtype)
         )
-        diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
+        if device_build is None:
+            device_build = (1 << L) >= (1 << 22) and jax.default_backend() != "cpu"
+        if device_build:
+            # states and diagonal built on the accelerator (2 host cores can't
+            # keep up past L ~ 24; see _device_sector_setup rationale)
+            f32 = jnp.dtype(dtype)
+            field_nz = [(int(i), float(field[i])) for i in np.nonzero(field)[0]]
+            zz_terms = [
+                (int(i), int(j), float(J)) for i, j, J in zip(zz_i, zz_j, zz_J)
+            ]
+
+            @jax.jit
+            def build():
+                states = jnp.arange(1 << L, dtype=jnp.uint32)
+                acc = jnp.zeros(states.shape, f32)
+                for i, h in field_nz:
+                    acc = acc + h * (
+                        ((states >> np.uint32(i)) & 1).astype(f32) - 0.5
+                    )
+                for i, j, J in zz_terms:
+                    bi = ((states >> np.uint32(i)) & 1).astype(f32) - 0.5
+                    bj = ((states >> np.uint32(j)) & 1).astype(f32) - 0.5
+                    acc = acc + J * bi * bj
+                return states, acc
+
+            states_d, diag_d = build()
+        else:
+            states = basis_mod.build_full_basis(L)
+            diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
+            states_d = jnp.asarray(states)
+            diag_d = jnp.asarray(diag)
         dev = lambda x: jnp.asarray(x)
         return SpinModel(
             L=L, nup=nup, mode="embedded",
-            states=dev(states), diag=dev(diag), field=dev(field),
+            states=states_d, diag=diag_d, field=dev(field),
             hop_i=dev(hop_i), hop_j=dev(hop_j), hop_J=dev(hop_J),
             zz_i=dev(zz_i), zz_j=dev(zz_j), zz_J=dev(zz_J),
             nbr=None, binom=dev(binom.astype(np.int32)),
