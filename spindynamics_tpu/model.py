@@ -44,7 +44,8 @@ __all__ = ["SpinModel", "build_model", "nn_hopping", "long_range_hopping"]
         "nbr",
         "binom",
     ],
-    meta_fields=["L", "nup", "mode", "n_valid", "hop_sites", "zz_sites"],
+    meta_fields=["L", "nup", "mode", "n_valid", "hop_sites", "zz_sites",
+                 "n_states_static"],
 )
 @dataclasses.dataclass(frozen=True)
 class SpinModel:
@@ -83,16 +84,28 @@ class SpinModel:
     # cannot drive Python-level graph construction).
     hop_sites: tuple = ()
     zz_sites: tuple = ()
+    # For full/embedded layouts states == arange(2^L); storing that array wastes
+    # HBM (1 GB at L=28), so `states` may be None with the length kept here.
+    n_states_static: int | None = None
 
     @property
     def n_states(self) -> int:
         """Array length (>= dim when padded for sharding)."""
-        return self.states.shape[0]
+        if self.states is not None:
+            return self.states.shape[0]
+        return self.n_states_static
+
+    def basis_states(self) -> jax.Array:
+        """The uint32 basis states; synthesized as iota for full/embedded
+        layouts that don't materialize them."""
+        if self.states is not None:
+            return self.states
+        return jnp.arange(self.n_states_static, dtype=jnp.uint32)
 
     @property
     def dim(self) -> int:
         """Logical Hilbert-space dimension."""
-        return self.n_valid if self.n_valid is not None else self.states.shape[0]
+        return self.n_valid if self.n_valid is not None else self.n_states
 
     def valid_mask(self):
         """Boolean [n_states] mask of logical rows.
@@ -103,13 +116,16 @@ class SpinModel:
         exact invariant subspace of H, so zeroing the complement once at state
         preparation keeps the entire computation in-sector."""
         if self.mode == "embedded":
-            m = jax.lax.population_count(self.states.astype(jnp.uint32)) == self.nup
+            m = (
+                jax.lax.population_count(self.basis_states().astype(jnp.uint32))
+                == self.nup
+            )
             if self.n_valid is not None:
-                m = jnp.logical_and(m, jnp.arange(self.states.shape[0]) < self.n_valid)
+                m = jnp.logical_and(m, jnp.arange(self.n_states) < self.n_valid)
             return m
         if self.n_valid is None:
             return None
-        return jnp.arange(self.states.shape[0]) < self.n_valid
+        return jnp.arange(self.n_states) < self.n_valid
 
     @property
     def n_bonds(self) -> int:
@@ -319,9 +335,10 @@ def build_model(
                     bi = ((states >> np.uint32(i)) & 1).astype(f32) - 0.5
                     bj = ((states >> np.uint32(j)) & 1).astype(f32) - 0.5
                     acc = acc + J * bi * bj
-                return states, acc
+                return acc
 
-            states_d, diag_d = build()
+            states_d = None  # == arange(2^L); never materialized
+            diag_d = build()
         else:
             states = basis_mod.build_full_basis(L)
             diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
@@ -336,6 +353,7 @@ def build_model(
             nbr=None, binom=dev(binom.astype(np.int32)),
             hop_sites=tuple(zip(hop_i.tolist(), hop_j.tolist())),
             zz_sites=tuple(zip(zz_i.tolist(), zz_j.tolist())),
+            n_states_static=1 << L,
         )
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     hop_i, hop_j, hop_J = _couplings_to_arrays(hopping, L, np_dtype)

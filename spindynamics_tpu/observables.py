@@ -45,9 +45,10 @@ def magnetization_per_site(psi: jax.Array, model: SpinModel) -> jax.Array:
     """<Sz_i> per site (ref: src/Observables.jl:14-36)."""
     p = _probs(psi)
     dtype = p.dtype
+    states = model.basis_states()
     mags = []
     for site in range(model.L):
-        bits = ((model.states >> np.uint32(site)) & np.uint32(1)).astype(dtype)
+        bits = ((states >> np.uint32(site)) & np.uint32(1)).astype(dtype)
         mags.append(jnp.vdot(p, bits - jnp.asarray(0.5, dtype)))
     return jnp.stack(mags)
 
@@ -63,7 +64,7 @@ def szsz_matrix(psi: jax.Array, model: SpinModel, chunk: int = 1 << 18):
     nchunks = max(1, -(-N // chunk))
     pad = nchunks * chunk - N
     p_pad = jnp.pad(p, (0, pad))
-    s_pad = jnp.pad(model.states, (0, pad))
+    s_pad = jnp.pad(model.basis_states(), (0, pad))
 
     def body(carry, blk):
         szsz, si = carry

@@ -28,7 +28,7 @@ __all__ = ["apply_spin_operator", "make_spin_operator", "sz_q_weights", "sz_q_ve
 
 
 def _sz_diag(model: SpinModel, site: int, dtype):
-    bits = ((model.states >> np.uint32(site)) & np.uint32(1)).astype(dtype)
+    bits = ((model.basis_states() >> np.uint32(site)) & np.uint32(1)).astype(dtype)
     return bits - jnp.asarray(0.5, dtype)
 
 
@@ -48,7 +48,7 @@ def apply_spin_operator(
     if not 0 <= site < model.L:
         raise ValueError(f"site {site} out of range [0, {model.L})")
     rdtype = psi.real.dtype if jnp.iscomplexobj(psi) else psi.dtype
-    bits = ((model.states >> np.uint32(site)) & np.uint32(1)).astype(rdtype)
+    bits = ((model.basis_states() >> np.uint32(site)) & np.uint32(1)).astype(rdtype)
 
     if kind == "z":
         return psi * (bits - jnp.asarray(0.5, rdtype))

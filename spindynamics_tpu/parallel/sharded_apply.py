@@ -47,10 +47,12 @@ def pad_model(model: SpinModel, n_shards: int) -> SpinModel:
         return model
     pad = Np - N
     new = {
-        "states": jnp.pad(model.states, (0, pad)),
         "diag": jnp.pad(model.diag, (0, pad)),
         "n_valid": model.dim,
+        "n_states_static": Np if model.states is None else None,
     }
+    if model.states is not None:
+        new["states"] = jnp.pad(model.states, (0, pad))
     if model.nbr is not None:
         new["nbr"] = jnp.pad(model.nbr, ((0, pad), (0, 0)), constant_values=-1)
     return dataclasses.replace(model, **new)
