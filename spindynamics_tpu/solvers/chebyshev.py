@@ -71,10 +71,44 @@ def _moment_scan(matvec_rescaled: Callable, phi: jax.Array, M: int, chi: jax.Arr
     return jnp.stack([mu0, mu1])[:M]
 
 
-def chebyshev_moments(matvec_rescaled, phi, M: int):
+def chebyshev_moments(matvec_rescaled, phi, M: int, doubling_trick: bool = False):
     """Diagonal KPM moments mu_n = <phi|T_n(H~)|phi>, real part
-    (ref: src/KPM_Sqw.jl:76-109)."""
-    return jnp.real(_moment_scan(matvec_rescaled, phi, M, phi))
+    (ref: src/KPM_Sqw.jl:76-109).
+
+    doubling_trick=True uses the exact product identities
+      mu_{2n}   = 2 <T_n phi | T_n phi>     - mu_0
+      mu_{2n+1} = 2 <T_{n+1} phi | T_n phi> - mu_1
+    to produce M moments from ~M/2 matvecs — a standard KPM optimization the
+    reference does not implement (one matvec per moment at src/KPM_Sqw.jl:92)."""
+    if not doubling_trick:
+        return jnp.real(_moment_scan(matvec_rescaled, phi, M, phi))
+    return _moment_scan_doubled(matvec_rescaled, phi, M)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _moment_scan_doubled(matvec_rescaled, phi, M: int):
+    """mu_0..mu_{M-1} via the product identities (M even or odd handled)."""
+    half = (M + 1) // 2  # need T_0..T_half
+    mu0 = jnp.real(jnp.vdot(phi, phi))
+    v_curr = matvec_rescaled(phi)
+    mu1 = jnp.real(jnp.vdot(phi, v_curr))
+
+    def step(carry, _):
+        v_prev, v_curr = carry
+        v_next = 2.0 * matvec_rescaled(v_curr) - v_prev
+        even = 2.0 * jnp.real(jnp.vdot(v_curr, v_curr)) - mu0  # mu_{2n}, n=idx
+        odd = 2.0 * jnp.real(jnp.vdot(v_next, v_curr)) - mu1  # mu_{2n+1}
+        return (v_curr, v_next), (even, odd)
+
+    # n = 1 .. half: produces mu_2..mu_{2*half+1}
+    _, (evens, odds) = jax.lax.scan(
+        step, (phi, v_curr), None, length=max(half, 1)
+    )
+    mus = jnp.zeros(2 * half + 2, mu0.dtype)
+    mus = mus.at[0].set(mu0).at[1].set(mu1)
+    mus = mus.at[2::2].set(evens)
+    mus = mus.at[3::2].set(odds)
+    return mus[:M]
 
 
 def chebyshev_cross_moments(matvec_rescaled, chi, phi, M: int, normalize_phi=True):

@@ -61,11 +61,12 @@ def kpm_sw(
     kpm_m: int = 200,
     kernel: str = "jackson",
     backend: str | None = None,
+    doubling_trick: bool = True,
 ):
     """S(omega) for one normalized phi (ref: src/KPM_Sqw.jl:29-71 convention:
     (2 - delta_n0) doubling, no 2/a density factor, x clamped)."""
     mvr = _matvec_rescaled_fn(model, a, b, backend)
-    mu = chebyshev_moments(mvr, phi, kpm_m)
+    mu = chebyshev_moments(mvr, phi, kpm_m, doubling_trick=doubling_trick)
     return kpm_reconstruct(
         mu, omega, a, b, kernel=kernel, doubling=True, density_2_over_a=False
     )
@@ -83,10 +84,12 @@ def kpm_sqw(
     backend: str | None = None,
     lanc_m: int = 80,
     key=None,
+    doubling_trick: bool = True,
 ):
     """S(q, omega) via KPM (ref: src/KPM_Sqw.jl:172-218). phi_q = S^z_q psi0 is
     normalized per-q as the reference does (src/KPM_Sqw.jl:198-199); the q axis
-    is one batched moment recurrence (vmap over the reference's @threads loop)."""
+    is one batched moment recurrence (vmap over the reference's @threads loop);
+    `doubling_trick` halves the matvecs via exact product identities."""
     if a is None or b is None:
         a, b = _default_rescaling(model, backend, lanc_m=lanc_m, key=key)
     cdtype = jnp.result_type(psi0.dtype, jnp.complex64)
@@ -100,7 +103,9 @@ def kpm_sqw(
     phis = phis / safe[:, None].astype(cdtype)
 
     mvr = _matvec_rescaled_fn(model, a, b, backend)
-    mus = jax.vmap(lambda p: jnp.real(_moment_scan(mvr, p, kpm_m, p)))(phis)
+    mus = jax.vmap(
+        lambda p: chebyshev_moments(mvr, p, kpm_m, doubling_trick=doubling_trick)
+    )(phis)
     S = kpm_reconstruct(
         mus, omega, a, b, kernel=kernel, doubling=True, density_2_over_a=False
     )

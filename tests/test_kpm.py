@@ -191,3 +191,15 @@ def test_kpm_diagnostics(setup):
         partial(apply_rescaled_H, model=m, a=a / 10, b=b), psi, omega, a / 10, b, M=24
     )
     assert not d_bad["moments_bounded"] or not d_bad["x_in_range"]
+
+
+@pytest.mark.parametrize("M", [16, 17, 64])
+def test_moment_doubling_trick(setup, rng, M):
+    """M moments from ~M/2 matvecs via product identities — exact."""
+    m, H, evals, evecs, a, b = setup
+    phi = rng.normal(size=m.n_states) + 1j * rng.normal(size=m.n_states)
+    phi = jnp.asarray(phi / np.linalg.norm(phi))
+    mvr = partial(apply_rescaled_H, model=m, a=a, b=b)
+    plain = np.asarray(chebyshev_moments(mvr, phi, M))
+    doubled = np.asarray(chebyshev_moments(mvr, phi, M, doubling_trick=True))
+    assert np.allclose(doubled, plain, atol=1e-10)
