@@ -28,7 +28,10 @@ def main(L=20, kpm_m=100, n_omega=50, omega_max=5.0, lanc_m=100):
     q_list = [2 * np.pi * k / L for k in range(L)]
     omega = np.linspace(0.0, omega_max, n_omega)
     t0 = time.time()
-    S = np.asarray(sd.kpm_sqw(psi0, model, q_list, omega, a=a, b=b, kpm_m=kpm_m))
+    # E0 shift: evaluate at excitation energies (the reference's own demo
+    # samples absolute energies and mostly sees kernel leakage — see kpm_sqw doc)
+    S = np.asarray(sd.kpm_sqw(psi0, model, q_list, omega, a=a, b=b, kpm_m=kpm_m,
+                              E0=E0))
     print(f"kpm_sqw: {time.time()-t0:.1f} s for {len(q_list)} q x {kpm_m} moments")
 
     try:

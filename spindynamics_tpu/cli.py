@@ -1,0 +1,178 @@
+"""Command-line driver: the framework equivalent of the reference's example
+scripts (its de-facto CLI / integration layer, SURVEY.md §1 L7).
+
+    python -m spindynamics_tpu.cli groundstate --L 16 --sz0
+    python -m spindynamics_tpu.cli sqw --method lanczos --L 16 --sz0 --out S.npz
+    python -m spindynamics_tpu.cli sqw --method kpm --L 20 --sz0 --kpm-m 100
+    python -m spindynamics_tpu.cli evolve --L 14 --nup 12 --t-max 5 --steps 200
+    python -m spindynamics_tpu.cli typicality --L 12 --sz0 --beta 1.0
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_model(args):
+    import jax.numpy as jnp
+
+    import spindynamics_tpu as sd
+
+    nup = args.L // 2 if args.sz0 else args.nup
+    layout = args.layout
+    if layout == "auto":
+        import jax
+
+        layout = (
+            "embedded"
+            if (nup is not None and jax.default_backend() != "cpu" and args.L < 30)
+            else "compact"
+        )
+    h = None
+    if args.field:
+        h = [float(x) for x in args.field.split(",")]
+    return sd.xxz_chain(
+        args.L, Jxy=args.jxy, Jz=args.jz, h=h, nup=nup,
+        dtype=jnp.float32 if args.f32 else jnp.float64,
+        layout=layout if nup is not None else "compact",
+    )
+
+
+def _add_common(p):
+    p.add_argument("--L", type=int, required=True)
+    p.add_argument("--nup", type=int, default=None)
+    p.add_argument("--sz0", action="store_true", help="nup = L/2")
+    p.add_argument("--jxy", type=float, default=1.0)
+    p.add_argument("--jz", type=float, default=1.0)
+    p.add_argument("--field", type=str, default=None,
+                   help="comma-separated onsite fields")
+    p.add_argument("--layout", choices=["auto", "compact", "embedded"],
+                   default="auto")
+    p.add_argument("--f32", action="store_true", default=None)
+    p.add_argument("--f64", dest="f32", action="store_false")
+    p.add_argument("--out", type=str, default=None, help="write .npz output")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="spindynamics_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for name in ("groundstate", "sqw", "evolve", "typicality"):
+        p = sub.add_parser(name)
+        _add_common(p)
+        if name == "groundstate":
+            p.add_argument("--lanc-m", type=int, default=100)
+            p.add_argument("--twopass", action="store_true")
+        elif name == "sqw":
+            p.add_argument("--method", choices=["lanczos", "kpm"], default="lanczos")
+            p.add_argument("--lanc-m", type=int, default=100)
+            p.add_argument("--kpm-m", type=int, default=100)
+            p.add_argument("--eta", type=float, default=0.05)
+            p.add_argument("--omega-max", type=float, default=4.0)
+            p.add_argument("--n-omega", type=int, default=200)
+        elif name == "evolve":
+            p.add_argument("--method", choices=["chebyshev", "krylov"],
+                           default="chebyshev")
+            p.add_argument("--t-max", type=float, default=5.0)
+            p.add_argument("--steps", type=int, default=200)
+            p.add_argument("--cheb-n", type=int, default=20)
+            p.add_argument("--kry-m", type=int, default=30)
+            p.add_argument("--state", choices=["domain_wall", "neel"],
+                           default="domain_wall")
+        elif name == "typicality":
+            p.add_argument("--beta", type=float, default=1.0)
+            p.add_argument("--site-a", type=int, default=0)
+            p.add_argument("--site-b", type=int, default=0)
+            p.add_argument("--t-max", type=float, default=2.0)
+            p.add_argument("--n-t", type=int, default=11)
+            p.add_argument("--samples", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.f32 is None:
+        args.f32 = jax.default_backend() != "cpu"
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import spindynamics_tpu as sd
+
+    t0 = time.time()
+    model = _build_model(args)
+    mv = sd.matvec_fn(model)
+    info = {"L": model.L, "nup": model.nup, "mode": model.mode,
+            "dim": model.dim, "n_states": model.n_states,
+            "build_s": round(time.time() - t0, 2)}
+
+    if args.cmd == "groundstate":
+        fn = sd.lanczos_groundstate_twopass if args.twopass else sd.lanczos_groundstate
+        t0 = time.time()
+        E0, psi, gs_info = fn(mv, model.n_states, lanc_m=args.lanc_m,
+                              dtype=model.dtype, mask=model.valid_mask())
+        info.update(E0=E0, E0_per_site=E0 / model.L,
+                    residual=gs_info["residual"], m_eff=gs_info["m_eff"],
+                    solve_s=round(time.time() - t0, 2))
+        if args.out:
+            np.savez(args.out, psi=np.asarray(psi), **{k: v for k, v in info.items()
+                                                        if np.isscalar(v)})
+    elif args.cmd == "sqw":
+        E0, psi0, _ = sd.lanczos_groundstate(mv, model.n_states,
+                                             lanc_m=args.lanc_m,
+                                             dtype=model.dtype,
+                                             mask=model.valid_mask())
+        q = [2 * np.pi * k / model.L for k in range(model.L)]
+        omega = np.linspace(0.0, args.omega_max, args.n_omega)
+        t0 = time.time()
+        if args.method == "lanczos":
+            S = np.asarray(sd.lanczos_sqw(psi0, model, q, omega,
+                                          lanc_m=args.lanc_m, eta=args.eta))
+        else:
+            S = np.asarray(sd.kpm_sqw(psi0, model, q, omega, kpm_m=args.kpm_m,
+                                      E0=E0))
+        info.update(E0=E0, S_max=float(S.max()), solve_s=round(time.time() - t0, 2))
+        if args.out:
+            np.savez(args.out, S=S, q=np.asarray(q), omega=omega, E0=E0)
+    elif args.cmd == "evolve":
+        psi0 = (sd.domain_wall_state if args.state == "domain_wall"
+                else sd.neel_state)(model, dtype=jnp.complex64 if args.f32
+                                    else jnp.complex128)
+        dt = args.t_max / args.steps
+        t0 = time.time()
+        psi, obs = sd.evolve_trajectory(model, psi0, dt, args.steps,
+                                        method=args.method, cheb_n=args.cheb_n,
+                                        kry_m=args.kry_m)
+        info.update(steps=args.steps, dt=dt,
+                    final_norm=float(jnp.linalg.norm(psi)),
+                    solve_s=round(time.time() - t0, 2))
+        if args.out:
+            np.savez(args.out, magnetization=obs, psi=np.asarray(psi))
+    elif args.cmd == "typicality":
+        ts = np.linspace(0.0, args.t_max, args.n_t)
+        samples = []
+        t0 = time.time()
+        for s in range(args.samples):
+            C = sd.typicality_correlation_function(
+                model, args.beta,
+                sd.make_spin_operator(args.site_a, "z"),
+                sd.make_spin_operator(args.site_b, "z"),
+                ts, key=jax.random.PRNGKey(s),
+            )
+            samples.append(C)
+        C = np.mean(samples, axis=0)
+        info.update(beta=args.beta, C0=float(np.real(C[0])),
+                    solve_s=round(time.time() - t0, 2))
+        if args.out:
+            np.savez(args.out, t=ts, C=C)
+
+    print(json.dumps(info))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

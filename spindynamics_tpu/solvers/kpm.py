@@ -85,13 +85,23 @@ def kpm_sqw(
     lanc_m: int = 80,
     key=None,
     doubling_trick: bool = True,
+    E0: float | None = None,
 ):
     """S(q, omega) via KPM (ref: src/KPM_Sqw.jl:172-218). phi_q = S^z_q psi0 is
     normalized per-q as the reference does (src/KPM_Sqw.jl:198-199); the q axis
     is one batched moment recurrence (vmap over the reference's @threads loop);
-    `doubling_trick` halves the matvecs via exact product identities."""
+    `doubling_trick` halves the matvecs via exact product identities.
+
+    NOTE on frequencies: following the reference, omega is measured on the
+    ABSOLUTE energy axis of H. That makes the reference's own demo
+    (examples/example_kpmSqw.jl:44, omega in [0, 5]) sample a region where a
+    ground state's excitations do not live. Pass `E0` (the energy of psi0) to
+    evaluate at excitation energies instead: S(q, omega) with poles at
+    omega = E_n - E0, directly comparable to lanczos_sqw."""
     if a is None or b is None:
         a, b = _default_rescaling(model, backend, lanc_m=lanc_m, key=key)
+    if E0 is not None:
+        omega = jnp.asarray(omega) + E0
     cdtype = jnp.result_type(psi0.dtype, jnp.complex64)
     psi0 = jnp.asarray(psi0, cdtype)
     rdtype = jnp.zeros(0, cdtype).real.dtype

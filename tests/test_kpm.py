@@ -203,3 +203,29 @@ def test_moment_doubling_trick(setup, rng, M):
     plain = np.asarray(chebyshev_moments(mvr, phi, M))
     doubled = np.asarray(chebyshev_moments(mvr, phi, M, doubling_trick=True))
     assert np.allclose(doubled, plain, atol=1e-10)
+
+
+def test_kpm_vs_lanczos_sqw_cross_method(setup):
+    """Cross-method oracle (SURVEY.md §4): KPM S(q, w) with the E0 shift and
+    matched broadening must agree with Lanczos S(q, w) after normalization
+    (KPM: phi normalized, integral = a; Lanczos: integral = ||phi||^2)."""
+    from spindynamics_tpu import lanczos_sqw, sz_q_vector
+
+    m, H, evals, evecs, a, b = setup
+    mv = matvec_fn(m)
+    E0, psi0, _ = lanczos_groundstate(mv, m.n_states, lanc_m=70, dtype=jnp.float64)
+    q = [np.pi]
+    omega = np.linspace(0.0, 4.0, 120)
+    M = 256
+    eta = np.pi * a / M  # match Jackson core width to the Lorentzian
+    S_L = lanczos_sqw(psi0, m, q, omega, lanc_m=60, eta=eta)
+    S_K = np.asarray(kpm_sqw(psi0, m, q, omega, a=a, b=b, kpm_m=M, E0=E0))
+    phi = np.asarray(sz_q_vector(m, jnp.asarray(np.asarray(psi0) + 0j), np.pi,
+                                 dtype=jnp.complex128))
+    w2 = float(np.vdot(phi, phi).real)
+    S_K_cmp = S_K[0] * w2 / a
+    # peak positions within the broadening; integrals within 10%
+    assert abs(omega[np.argmax(S_K_cmp)] - omega[np.argmax(S_L[0])]) < 3 * eta
+    int_L = np.trapezoid(S_L[0], omega)
+    int_K = np.trapezoid(S_K_cmp, omega)
+    assert int_K == pytest.approx(int_L, rel=0.15)
