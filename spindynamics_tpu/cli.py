@@ -111,7 +111,11 @@ def main(argv=None):
             "build_s": round(time.time() - t0, 2)}
 
     if args.cmd == "groundstate":
-        fn = sd.lanczos_groundstate_twopass if args.twopass else sd.lanczos_groundstate
+        # stored-basis Lanczos needs m x N memory; switch to two-pass when the
+        # basis would exceed ~4 GB
+        auto_twopass = model.n_states * args.lanc_m * 8 > 4e9
+        fn = (sd.lanczos_groundstate_twopass
+              if (args.twopass or auto_twopass) else sd.lanczos_groundstate)
         t0 = time.time()
         E0, psi, gs_info = fn(mv, model.n_states, lanc_m=args.lanc_m,
                               dtype=model.dtype, mask=model.valid_mask())
