@@ -89,7 +89,9 @@ def sz_q_weights(model: SpinModel, q, dtype=jnp.complex64) -> jax.Array:
     """Per-state diagonal weight of S^z_q = L^{-1/2} sum_r e^{iqr} S^z_r.
 
     Race-free replacement for ref src/Hamiltonian.jl:218-234 (`Sz_q_vector`)."""
-    rdtype = jnp.real(jnp.zeros(0, dtype)).dtype
+    from ..utils.dtypes import real_dtype
+
+    rdtype = real_dtype(dtype)
     L = model.L
     q = jnp.asarray(q, rdtype)
     r = jnp.arange(L, dtype=rdtype)

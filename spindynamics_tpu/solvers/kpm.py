@@ -104,7 +104,9 @@ def kpm_sqw(
         omega = jnp.asarray(omega) + E0
     cdtype = jnp.result_type(psi0.dtype, jnp.complex64)
     psi0 = jnp.asarray(psi0, cdtype)
-    rdtype = jnp.zeros(0, cdtype).real.dtype
+    from ..utils.dtypes import real_dtype
+
+    rdtype = real_dtype(cdtype)
     q_arr = jnp.asarray(np.asarray(q_list), rdtype)
 
     phis = jax.vmap(lambda q: sz_q_vector(model, psi0, q, dtype=cdtype))(q_arr)

@@ -28,7 +28,9 @@ __all__ = [
 
 
 def _real_dtype(dtype):
-    return jnp.zeros(0, dtype).real.dtype
+    from ..utils.dtypes import real_dtype
+
+    return real_dtype(dtype)
 
 
 @partial(jax.jit, static_argnums=(0, 2))

@@ -50,7 +50,9 @@ class LanczosFactorization(NamedTuple):
 
 
 def _real_dtype(dtype):
-    return jnp.zeros(0, dtype).real.dtype
+    from ..utils.dtypes import real_dtype
+
+    return real_dtype(dtype)
 
 
 def _inner(x, y):

@@ -70,7 +70,9 @@ def lanczos_sqw(
     hpsi = matvec(psi0)
     E0 = float(jnp.real(jnp.vdot(psi0, hpsi)))
 
-    q_arr = jnp.asarray(np.asarray(q_list), jnp.zeros(0, cdtype).real.dtype)
+    from ..utils.dtypes import real_dtype
+
+    q_arr = jnp.asarray(np.asarray(q_list), real_dtype(cdtype))
     phis = jax.vmap(lambda q: sz_q_vector(model, psi0, q, dtype=cdtype))(q_arr)
     norms = jnp.linalg.norm(phis, axis=1)
     safe = jnp.maximum(norms, jnp.finfo(norms.dtype).tiny)

@@ -55,7 +55,9 @@ def thermal_state(
     if key is None:
         key = jax.random.PRNGKey(0)
     N = model.n_states
-    rdtype = jnp.zeros(0, dtype).real.dtype
+    from ..utils.dtypes import real_dtype
+
+    rdtype = real_dtype(dtype)
     kr, ki = jax.random.split(key)
     r = jax.random.normal(kr, (N,), rdtype) + 1j * jax.random.normal(ki, (N,), rdtype)
     mask = model.valid_mask()
