@@ -58,6 +58,7 @@ from .solvers.lanczos import (
     estimate_energy_bounds,
     lanczos_extremal,
     lanczos_groundstate,
+    lanczos_groundstate_restarted,
     lanczos_groundstate_twopass,
     lanczos_iteration,
     lanczos_tridiag,

@@ -36,6 +36,7 @@ __all__ = [
     "lanczos_extremal",
     "lanczos_groundstate",
     "lanczos_groundstate_twopass",
+    "lanczos_groundstate_restarted",
     "estimate_energy_bounds",
     "tridiag_eigh",
 ]
@@ -301,6 +302,52 @@ def lanczos_groundstate_twopass(
     hpsi = matvec(psi)
     residual = float(jnp.linalg.norm(hpsi - jnp.asarray(E0, psi.dtype) * psi))
     return E0, psi, {"residual": residual, "m_eff": m_eff, "evals": evals}
+
+
+def lanczos_groundstate_restarted(
+    matvec,
+    N: int,
+    lanc_m: int = 40,
+    cycles: int = 4,
+    tol: float = 1e-12,
+    dtype=jnp.float32,
+    key=None,
+    mask=None,
+    target_residual: float | None = None,
+):
+    """Restarted two-pass ground state: O(3N) memory AND high accuracy.
+
+    Each cycle runs the two-pass Lanczos (no stored basis) starting from the
+    previous cycle's Ritz vector; restarting recovers the accuracy that
+    orthogonality loss costs the plain two-pass at large m, without the
+    reference's O(N*m) stored-basis memory (SURVEY.md §2.4-9). Stops early when
+    `target_residual` is reached."""
+    v0 = _random_start(N, dtype, key, mask)
+    E0 = None
+    psi = v0
+    info = {}
+    for c in range(cycles):
+        v1, _ = _normalize_start(psi)
+        alphas, betas, active, _ = _lanczos_scan(matvec, v1, lanc_m, tol, False, False)
+        m_eff = int(jnp.sum(active.astype(jnp.int32)))
+        evals, evecs = tridiag_eigh(alphas, betas, m_eff)
+        idx = int(np.argmin(evals))
+        E0 = float(evals[idx])
+        y = np.zeros(lanc_m)
+        y[:m_eff] = evecs[:, idx]
+        psi = _second_pass_accumulate(
+            matvec, v1, jnp.asarray(y, _real_dtype(dtype)), lanc_m
+        )
+        psi = psi / jnp.linalg.norm(psi).astype(psi.dtype)
+        hpsi = matvec(psi)
+        E0 = float(jnp.real(_inner(psi, hpsi)))
+        residual = float(jnp.linalg.norm(hpsi - jnp.asarray(E0, psi.dtype) * psi))
+        info = {"residual": residual, "m_eff": m_eff, "cycles": c + 1, "evals": evals}
+        if target_residual is not None and residual < target_residual:
+            break
+        if m_eff < lanc_m:  # invariant subspace reached
+            break
+    return E0, psi, info
 
 
 @partial(jax.jit, static_argnums=(0, 3))

@@ -105,3 +105,17 @@ def test_groundstate_full_mode():
     mv = matvec_fn(m, backend="tensor")
     E0, psi, info = lanczos_groundstate(mv, m.n_states, lanc_m=70, dtype=jnp.float64)
     assert E0 == pytest.approx(evals[0], abs=1e-8)
+
+
+def test_lanczos_groundstate_restarted(setup):
+    """Restarted two-pass: high accuracy with O(3N) memory."""
+    from spindynamics_tpu import lanczos_groundstate_restarted
+
+    m, H, evals = setup
+    mv = matvec_fn(m)
+    E0, psi, info = lanczos_groundstate_restarted(
+        mv, m.n_states, lanc_m=30, cycles=5, dtype=jnp.float64,
+        target_residual=1e-9,
+    )
+    assert E0 == pytest.approx(evals[0], abs=1e-9)
+    assert info["residual"] < 1e-8
