@@ -21,7 +21,52 @@ from .chebyshev import chebyshev_coefficients, chebyshev_time_evolve
 from .krylov import krylov_time_evolve
 from .lanczos import estimate_energy_bounds
 
-__all__ = ["run_chebyshev", "run_krylov", "evolve_trajectory"]
+__all__ = ["run_chebyshev", "run_krylov", "evolve_trajectory",
+           "evolve_trajectory_planes"]
+
+
+def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
+                             Ebounds=None, cheb_n: int = 30,
+                             backend: str | None = None, lanc_m: int = 60,
+                             observe=magnetization_per_site):
+    """Chebyshev trajectory with ONLY f32 buffers at jit boundaries.
+
+    The complex state lives as an f32 [2, N] real/imag plane stack between
+    steps; each step is one jit whose interior does complex arithmetic. Needed
+    on PJRT backends that cannot hold complex buffers at rest (see
+    utils/complex_io); also a fine default anywhere. Returns (planes, obs)."""
+    import jax
+
+    from ..utils.complex_io import planes_from_complex, wrap_complex_io
+
+    mv = matvec_fn(model, backend)
+    if Ebounds is None:
+        Ebounds = estimate_energy_bounds(mv, model.n_states, lanc_m=lanc_m,
+                                         dtype=jnp.float32,
+                                         mask=model.valid_mask())
+    coeffs = chebyshev_coefficients(dt, Ebounds[0], Ebounds[1], cheb_n)
+
+    def step_complex(psi):
+        return chebyshev_time_evolve(psi, mv, dt, Ebounds, cheb_n=cheb_n,
+                                     coeffs=coeffs)
+
+    step = jax.jit(wrap_complex_io(step_complex))
+
+    def observe_planes(planes):
+        # |psi|^2-type observables from planes without complex buffers
+        p2 = planes[0] ** 2 + planes[1] ** 2
+        return observe(jnp.sqrt(p2), model)  # diagonal observables use |psi| only
+
+    obs_fn = jax.jit(observe_planes)
+
+    planes = np.asarray(planes_from_complex(jnp.asarray(psi0))) \
+        if not hasattr(psi0, "shape") or psi0.ndim == 1 else psi0
+    planes = jnp.asarray(planes, jnp.float32)
+    obs = []
+    for _ in range(n_steps):
+        planes = step(planes)
+        obs.append(np.asarray(obs_fn(planes)))
+    return planes, np.asarray(obs)
 
 
 def run_chebyshev(model: SpinModel, dt: float, cheb_n: int = 50, lanc_m: int = 80,

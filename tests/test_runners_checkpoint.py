@@ -48,3 +48,18 @@ def test_checkpoint_roundtrip(tmp_path, model):
     assert meta["step"] == 7
     assert np.allclose(np.asarray(psi2), np.asarray(psi))
     assert np.allclose(extra["alphas"], np.arange(3.0))
+
+
+def test_trajectory_planes_matches_complex(model):
+    """f32-plane trajectory == complex trajectory (diagonal observables)."""
+    from spindynamics_tpu.solvers.runners import evolve_trajectory_planes
+
+    psi0 = domain_wall_state(model, dtype=jnp.complex128)
+    bounds = (-8.0, 8.0)
+    _, obs_c = evolve_trajectory(model, psi0, 0.1, 4, method="chebyshev",
+                                 cheb_n=30, Ebounds=bounds)
+    psi0_real = domain_wall_state(model, dtype=jnp.float32)
+    planes, obs_p = evolve_trajectory_planes(model, psi0_real, 0.1, 4,
+                                             Ebounds=bounds, cheb_n=30)
+    assert planes.shape[0] == 2
+    assert np.allclose(obs_p, obs_c, atol=5e-5)
