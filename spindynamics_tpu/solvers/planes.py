@@ -1,0 +1,273 @@
+"""Complex-free (real-plane) solver variants for backends without complex support.
+
+The axon-relayed TPU in this environment cannot create complex buffers and its
+compiler hangs on complex-typed HLO. Since every Hamiltonian here is REAL
+symmetric, complex states decompose exactly: psi = re + i*im with H acting on
+each plane independently; inner products, Chebyshev/Krylov recurrences and the
+tiny tridiagonal exponentials all have closed real forms. These variants hold
+the state as an f32 [2, N] plane stack and use NO complex dtype anywhere.
+
+Numerically identical to the complex implementations (tests assert this on CPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model import SpinModel
+from ..ops.apply import apply_H, matvec_fn
+from .chebyshev import chebyshev_coefficients, get_kernel, kpm_reconstruct
+from .lanczos import tridiag_eigh
+
+__all__ = [
+    "planes_matvec_fn",
+    "chebyshev_time_evolve_planes",
+    "krylov_time_evolve_planes",
+    "chebyshev_moments_planes",
+    "kpm_sqw_planes",
+    "lanczos_tridiag_planes",
+    "lanczos_sqw_planes",
+    "sz_q_planes",
+]
+
+
+def planes_matvec_fn(model: SpinModel, backend: str | None = None):
+    """[2, N] -> [2, N]: H applied to both planes (H is real)."""
+    mv = matvec_fn(model, backend)
+
+    def pm(p):
+        return jnp.stack([mv(p[0]), mv(p[1])])
+
+    return pm
+
+
+def _pdot(x, y):
+    """Re<x|y> and Im<x|y> for plane stacks: <x|y> = (xr - i xi)·(yr + i yi)."""
+    re = jnp.vdot(x[0], y[0]) + jnp.vdot(x[1], y[1])
+    im = jnp.vdot(x[0], y[1]) - jnp.vdot(x[1], y[0])
+    return re, im
+
+
+def _pnorm2(x):
+    return jnp.vdot(x[0], x[0]) + jnp.vdot(x[1], x[1])
+
+
+def sz_q_planes(model: SpinModel, psi_planes, q):
+    """phi = S^z_q psi on plane stacks (the weight w_q is complex diagonal)."""
+    L = model.L
+    states = model.basis_states()
+    wr = jnp.zeros(model.n_states, jnp.float32)
+    wi = jnp.zeros(model.n_states, jnp.float32)
+    for site in range(L):
+        sz = ((states >> np.uint32(site)) & 1).astype(jnp.float32) - 0.5
+        wr = wr + np.float32(np.cos(q * site)) * sz
+        wi = wi + np.float32(np.sin(q * site)) * sz
+    s = np.float32(1.0 / np.sqrt(L))
+    wr, wi = wr * s, wi * s
+    re, im = psi_planes[0], psi_planes[1]
+    return jnp.stack([wr * re - wi * im, wr * im + wi * re])
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _cheb_planes_scan(pmv, planes, coeffs_ri, ab, n):
+    """Chebyshev-Bessel step on planes. coeffs_ri: f32 [n, 2] (re, im)."""
+    a_inv, b = ab
+
+    def mvr(p):
+        return (pmv(p) - b * p) * a_inv
+
+    phi_prev = planes
+    acc_r = coeffs_ri[0, 0] * phi_prev[0] - coeffs_ri[0, 1] * phi_prev[1]
+    acc_i = coeffs_ri[0, 1] * phi_prev[0] + coeffs_ri[0, 0] * phi_prev[1]
+    phi_curr = mvr(phi_prev)
+    acc_r = acc_r + coeffs_ri[1, 0] * phi_curr[0] - coeffs_ri[1, 1] * phi_curr[1]
+    acc_i = acc_i + coeffs_ri[1, 1] * phi_curr[0] + coeffs_ri[1, 0] * phi_curr[1]
+
+    def step(carry, c):
+        p_prev, p_curr, ar, ai = carry
+        p_next = 2.0 * mvr(p_curr) - p_prev
+        ar = ar + c[0] * p_next[0] - c[1] * p_next[1]
+        ai = ai + c[1] * p_next[0] + c[0] * p_next[1]
+        return (p_curr, p_next, ar, ai), None
+
+    if n > 2:
+        (_, _, acc_r, acc_i), _ = jax.lax.scan(
+            step, (phi_prev, phi_curr, acc_r, acc_i), coeffs_ri[2:]
+        )
+    return jnp.stack([acc_r, acc_i])
+
+
+def chebyshev_time_evolve_planes(planes, model_or_pmv, dt, Ebounds, cheb_n=100,
+                                 backend=None, coeffs=None):
+    """e^{-iH dt} on an f32 [2, N] plane stack; zero complex dtypes anywhere."""
+    pmv = (planes_matvec_fn(model_or_pmv, backend)
+           if isinstance(model_or_pmv, SpinModel) else model_or_pmv)
+    if coeffs is None:
+        coeffs = chebyshev_coefficients(dt, Ebounds[0], Ebounds[1], cheb_n)
+    c, a, b = coeffs
+    c_ri = jnp.asarray(np.stack([c.real, c.imag], axis=1), jnp.float32)
+    ab = (jnp.float32(1.0 / a), jnp.float32(b))
+    return _cheb_planes_scan(pmv, jnp.asarray(planes, jnp.float32), c_ri, ab,
+                             cheb_n)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _lanczos_planes_scan(pmv, planes, m):
+    """Lanczos on a complex state held as planes: alpha/beta real throughout."""
+    nrm = jnp.sqrt(_pnorm2(planes))
+    v1 = planes / jnp.maximum(nrm, jnp.finfo(jnp.float32).tiny)
+
+    def step(carry, _):
+        v_prev, v_curr, beta_prev = carry
+        w = pmv(v_curr)
+        alpha, _ = _pdot(v_curr, w)
+        w = w - alpha * v_curr - beta_prev * v_prev
+        beta = jnp.sqrt(_pnorm2(w))
+        inv = jnp.where(beta > 1e-12, 1.0 / jnp.maximum(beta, jnp.finfo(jnp.float32).tiny), 0.0)
+        v_next = w * inv
+        beta_out = jnp.where(beta > 1e-12, beta, 0.0)
+        return (v_curr, v_next, beta_out), (alpha, beta_out)
+
+    init = (jnp.zeros_like(v1), v1, jnp.float32(0.0))
+    _, (alphas, betas) = jax.lax.scan(step, init, None, length=m)
+    return alphas, betas, nrm
+
+
+def lanczos_tridiag_planes(pmv, planes, lanc_m=100):
+    """(alphas, betas, ||phi||) from a plane-stack start (cf. lanczos_tridiag)."""
+    alphas, betas, nrm = _lanczos_planes_scan(pmv, jnp.asarray(planes, jnp.float32),
+                                              lanc_m)
+    return alphas, betas[: lanc_m - 1], nrm
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _krylov_planes_factorize(pmv, planes, m):
+    nrm = jnp.sqrt(_pnorm2(planes))
+    v1 = planes / jnp.maximum(nrm, jnp.finfo(jnp.float32).tiny)
+
+    def step(carry, _):
+        v_prev, v_curr, beta_prev = carry
+        w = pmv(v_curr)
+        alpha, _ = _pdot(v_curr, w)
+        w = w - alpha * v_curr - beta_prev * v_prev
+        beta = jnp.sqrt(_pnorm2(w))
+        inv = jnp.where(beta > 1e-12, 1.0 / jnp.maximum(beta, jnp.finfo(jnp.float32).tiny), 0.0)
+        v_next = w * inv
+        beta_out = jnp.where(beta > 1e-12, beta, 0.0)
+        return (v_curr, v_next, beta_out), (v_curr, alpha, beta_out)
+
+    init = (jnp.zeros_like(v1), v1, jnp.float32(0.0))
+    _, (V, alphas, betas) = jax.lax.scan(step, init, None, length=m)
+    return V, alphas, betas, nrm
+
+
+@partial(jax.jit, static_argnums=(0, 2, 4))
+def _krylov_planes_evolve(pmv, planes, m, dt, renormalize):
+    """e^{-iH dt} via Krylov, all-real: y = Q [cos(D dt) - i sin(D dt)] Q^T e1."""
+    V, alphas, betas, nrm = _krylov_planes_factorize(pmv, planes, m)
+    T = jnp.diag(alphas)
+    if m > 1:
+        T = T + jnp.diag(betas[: m - 1], 1) + jnp.diag(betas[: m - 1], -1)
+    D, Q = jnp.linalg.eigh(T)
+    q0 = Q[0, :] * nrm  # Q^T e1 * ||psi||
+    y_r = Q @ (jnp.cos(D * dt) * q0)
+    y_i = Q @ (-jnp.sin(D * dt) * q0)
+    # psi_t = sum_k (y_r + i y_i)_k (v_re + i v_im)_k
+    out_r = jnp.einsum("k,kn->n", y_r, V[:, 0, :]) - jnp.einsum(
+        "k,kn->n", y_i, V[:, 1, :]
+    )
+    out_i = jnp.einsum("k,kn->n", y_i, V[:, 0, :]) + jnp.einsum(
+        "k,kn->n", y_r, V[:, 1, :]
+    )
+    out = jnp.stack([out_r, out_i])
+    if renormalize:
+        n2 = jnp.sqrt(_pnorm2(out))
+        out = out / jnp.maximum(n2, jnp.finfo(jnp.float32).tiny)
+    return out
+
+
+def krylov_time_evolve_planes(planes, model_or_pmv, dt, kry_m=30,
+                              renormalize=True, backend=None):
+    pmv = (planes_matvec_fn(model_or_pmv, backend)
+           if isinstance(model_or_pmv, SpinModel) else model_or_pmv)
+    return _krylov_planes_evolve(pmv, jnp.asarray(planes, jnp.float32), kry_m,
+                                 jnp.float32(dt), renormalize)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _moments_planes_scan(pmvr, phi, M):
+    """mu_n = Re<phi|T_n|phi> on planes (phi normalized by caller)."""
+    mu0, _ = _pdot(phi, phi)
+    v_curr = pmvr(phi)
+    mu1, _ = _pdot(phi, v_curr)
+
+    def step(carry, _):
+        v_prev, v_curr = carry
+        v_next = 2.0 * pmvr(v_curr) - v_prev
+        mu, _ = _pdot(phi, v_next)
+        return (v_curr, v_next), mu
+
+    if M > 2:
+        _, mus = jax.lax.scan(step, (phi, v_curr), None, length=M - 2)
+        return jnp.concatenate([jnp.stack([mu0, mu1]), mus])
+    return jnp.stack([mu0, mu1])[:M]
+
+
+def chebyshev_moments_planes(model_or_pmv, phi_planes, M, a, b, backend=None):
+    pmv = (planes_matvec_fn(model_or_pmv, backend)
+           if isinstance(model_or_pmv, SpinModel) else model_or_pmv)
+    a_inv = jnp.float32(1.0 / a)
+    bb = jnp.float32(b)
+
+    def pmvr(p):
+        return (pmv(p) - bb * p) * a_inv
+
+    return _moments_planes_scan(pmvr, jnp.asarray(phi_planes, jnp.float32), M)
+
+
+def kpm_sqw_planes(psi_planes, model: SpinModel, q_list, omega, a, b,
+                   kpm_m=200, kernel="jackson", backend=None, E0=None):
+    """S(q, omega) via KPM with zero complex dtypes (cf. kpm_sqw)."""
+    psi_planes = jnp.asarray(psi_planes, jnp.float32)
+    rows = []
+    for q in q_list:
+        phi = sz_q_planes(model, psi_planes, float(q))
+        n2 = float(_pnorm2(phi))
+        if n2 <= 0:
+            rows.append(np.zeros(np.asarray(omega).shape[0]))
+            continue
+        phi = phi / np.float32(np.sqrt(n2))
+        mu = chebyshev_moments_planes(model, phi, kpm_m, a, b, backend=backend)
+        om = np.asarray(omega) + (E0 or 0.0)
+        S = kpm_reconstruct(mu, om, a, b, kernel=kernel, doubling=True,
+                            density_2_over_a=False)
+        rows.append(np.asarray(S))
+    return np.asarray(rows)
+
+
+def lanczos_sqw_planes(psi_planes, model: SpinModel, q_list, omega, E0,
+                       lanc_m=200, eta=0.05, broaden="lorentz", backend=None):
+    """Lanczos S(q, omega) on plane stacks (cf. lanczos_sqw). E0 must be given
+    (computed by the caller from the real ground state)."""
+    from .lanczos_sqw import spectral_from_tridiagonal
+
+    pmv = planes_matvec_fn(model, backend)
+    psi_planes = jnp.asarray(psi_planes, jnp.float32)
+    W = np.asarray(omega).shape[0]
+    out = np.zeros((len(q_list), W))
+    for iq, q in enumerate(q_list):
+        phi = sz_q_planes(model, psi_planes, float(q))
+        alphas, betas, nrm = lanczos_tridiag_planes(pmv, phi, lanc_m)
+        nrm_f = float(nrm)
+        if nrm_f <= 0:
+            continue
+        m_eff = min(int(np.sum(np.asarray(betas)[: lanc_m - 1] > 0)) + 1, lanc_m)
+        out[iq] = spectral_from_tridiagonal(
+            np.asarray(alphas), np.asarray(betas), nrm_f, E0, omega,
+            eta=eta, broaden=broaden, m_eff=m_eff,
+        )
+    return out

@@ -37,7 +37,7 @@ def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
     utils/complex_io); also a fine default anywhere. Returns (planes, obs)."""
     import jax
 
-    from ..utils.complex_io import planes_from_complex, wrap_complex_io
+    from .planes import chebyshev_time_evolve_planes, planes_matvec_fn
 
     mv = matvec_fn(model, backend)
     if Ebounds is None:
@@ -45,12 +45,11 @@ def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
                                          dtype=jnp.float32,
                                          mask=model.valid_mask())
     coeffs = chebyshev_coefficients(dt, Ebounds[0], Ebounds[1], cheb_n)
+    pmv = planes_matvec_fn(model, backend)
 
-    def step_complex(psi):
-        return chebyshev_time_evolve(psi, mv, dt, Ebounds, cheb_n=cheb_n,
-                                     coeffs=coeffs)
-
-    step = jax.jit(wrap_complex_io(step_complex))
+    def step(planes):
+        return chebyshev_time_evolve_planes(planes, pmv, dt, Ebounds,
+                                            cheb_n=cheb_n, coeffs=coeffs)
 
     def observe_planes(planes):
         # |psi|^2-type observables from planes without complex buffers
@@ -59,8 +58,16 @@ def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
 
     obs_fn = jax.jit(observe_planes)
 
-    planes = np.asarray(planes_from_complex(jnp.asarray(psi0))) \
-        if not hasattr(psi0, "shape") or psi0.ndim == 1 else psi0
+    psi0 = jnp.asarray(psi0)
+    if psi0.ndim == 1:
+        if jnp.iscomplexobj(psi0):
+            from ..utils.complex_io import planes_from_complex
+
+            planes = planes_from_complex(psi0)
+        else:
+            planes = jnp.stack([psi0, jnp.zeros_like(psi0)])
+    else:
+        planes = psi0
     planes = jnp.asarray(planes, jnp.float32)
     obs = []
     for _ in range(n_steps):

@@ -1,0 +1,103 @@
+"""Real-plane solver variants == complex implementations (CPU oracle)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spindynamics_tpu import (
+    build_dense_H,
+    chebyshev_moments,
+    chebyshev_time_evolve,
+    domain_wall_state,
+    krylov_time_evolve,
+    lanczos_groundstate,
+    lanczos_sqw,
+    kpm_sqw,
+    matvec_fn,
+    sz_q_vector,
+    xxz_chain,
+)
+from spindynamics_tpu.ops.apply import apply_rescaled_H
+from spindynamics_tpu.solvers.planes import (
+    chebyshev_moments_planes,
+    chebyshev_time_evolve_planes,
+    kpm_sqw_planes,
+    krylov_time_evolve_planes,
+    lanczos_sqw_planes,
+    planes_matvec_fn,
+    sz_q_planes,
+)
+from spindynamics_tpu.utils.complex_io import planes_from_complex
+from functools import partial
+
+
+@pytest.fixture(scope="module")
+def setup(): 
+    m = xxz_chain(8, Jxy=1.0, Jz=0.7, nup=4, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    psi = rng.normal(size=m.n_states) + 1j * rng.normal(size=m.n_states)
+    psi /= np.linalg.norm(psi)
+    return m, jnp.asarray(psi)
+
+
+def as_planes(psi):
+    return jnp.asarray(planes_from_complex(psi), jnp.float32)
+
+
+def to_c(planes):
+    p = np.asarray(planes)
+    return p[0] + 1j * p[1]
+
+
+def test_sz_q_planes(setup):
+    m, psi = setup
+    q = 2 * np.pi / m.L
+    want = np.asarray(sz_q_vector(m, psi, q, dtype=jnp.complex128))
+    got = to_c(sz_q_planes(m, as_planes(psi), q))
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_chebyshev_planes(setup):
+    m, psi = setup
+    mv = matvec_fn(m)
+    bounds = (-8.0, 8.0)
+    want = np.asarray(chebyshev_time_evolve(psi, mv, 0.2, bounds, cheb_n=30))
+    got = to_c(chebyshev_time_evolve_planes(as_planes(psi), m, 0.2, bounds,
+                                            cheb_n=30))
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_krylov_planes(setup):
+    m, psi = setup
+    mv = matvec_fn(m)
+    want = np.asarray(krylov_time_evolve(psi, mv, 0.2, kry_m=25))
+    got = to_c(krylov_time_evolve_planes(as_planes(psi), m, 0.2, kry_m=25))
+    assert np.allclose(got, want, atol=2e-5)
+
+
+def test_moments_planes(setup):
+    m, psi = setup
+    a, b = 6.0, -0.5
+    mvr = partial(apply_rescaled_H, model=m, a=a, b=b)
+    want = np.asarray(chebyshev_moments(mvr, psi, 32))
+    got = np.asarray(chebyshev_moments_planes(m, as_planes(psi), 32, a, b))
+    assert np.allclose(got, want, atol=2e-5)
+
+
+def test_sqw_planes_paths(setup):
+    m, _ = setup
+    mv = matvec_fn(m)
+    E0, psi0, _ = lanczos_groundstate(mv, m.n_states, lanc_m=50, dtype=jnp.float64)
+    q = [np.pi, np.pi / 2]
+    omega = np.linspace(0, 3, 40)
+    psi0_planes = jnp.stack([jnp.asarray(psi0, jnp.float32),
+                             jnp.zeros(m.n_states, jnp.float32)])
+    S_ref = lanczos_sqw(psi0, m, q, omega, lanc_m=40, eta=0.1)
+    S_pl = lanczos_sqw_planes(psi0_planes, m, q, omega, E0, lanc_m=40, eta=0.1)
+    assert np.allclose(S_pl, S_ref, atol=1e-3 + 0.02 * S_ref.max())
+
+    a, b = 7.0, -0.5
+    K_ref = np.asarray(kpm_sqw(psi0, m, q, omega, a=a, b=b, kpm_m=64,
+                               doubling_trick=False))
+    K_pl = kpm_sqw_planes(psi0_planes, m, q, omega, a, b, kpm_m=64)
+    assert np.allclose(K_pl, K_ref, atol=1e-4 + 0.02 * max(K_ref.max(), 1e-9))
