@@ -89,7 +89,12 @@ from .solvers.kpm import (
     kpm_sw,
     run_kpm_dynamical,
 )
-from .solvers.runners import evolve_trajectory, run_chebyshev, run_krylov
+from .solvers.runners import (
+    evolve_trajectory,
+    evolve_trajectory_planes,
+    run_chebyshev,
+    run_krylov,
+)
 from .solvers.typicality import (
     rk4_time_step,
     thermal_state,

@@ -133,7 +133,26 @@ def main(argv=None):
         q = [2 * np.pi * k / model.L for k in range(model.L)]
         omega = np.linspace(0.0, args.omega_max, args.n_omega)
         t0 = time.time()
-        if args.method == "lanczos":
+        on_accel = jax.default_backend() != "cpu"
+        if on_accel:
+            # complex-free plane paths (the local TPU relay cannot create
+            # complex buffers eagerly; see solvers/planes.py)
+            from spindynamics_tpu.solvers.planes import (
+                kpm_sqw_planes, lanczos_sqw_planes)
+
+            planes = jnp.stack([jnp.asarray(psi0, jnp.float32),
+                                jnp.zeros(model.n_states, jnp.float32)])
+            if args.method == "lanczos":
+                S = lanczos_sqw_planes(planes, model, q, omega, E0,
+                                       lanc_m=args.lanc_m, eta=args.eta)
+            else:
+                bounds = sd.estimate_energy_bounds(
+                    mv, model.n_states, lanc_m=80, dtype=jnp.float32,
+                    mask=model.valid_mask())
+                ka, kb = sd.rescaling_params(*bounds)
+                S = kpm_sqw_planes(planes, model, q, omega, ka, kb,
+                                   kpm_m=args.kpm_m, E0=E0)
+        elif args.method == "lanczos":
             S = np.asarray(sd.lanczos_sqw(psi0, model, q, omega,
                                           lanc_m=args.lanc_m, eta=args.eta))
         else:
@@ -143,19 +162,30 @@ def main(argv=None):
         if args.out:
             np.savez(args.out, S=S, q=np.asarray(q), omega=omega, E0=E0)
     elif args.cmd == "evolve":
-        psi0 = (sd.domain_wall_state if args.state == "domain_wall"
-                else sd.neel_state)(model, dtype=jnp.complex64 if args.f32
-                                    else jnp.complex128)
         dt = args.t_max / args.steps
         t0 = time.time()
-        psi, obs = sd.evolve_trajectory(model, psi0, dt, args.steps,
-                                        method=args.method, cheb_n=args.cheb_n,
-                                        kry_m=args.kry_m)
-        info.update(steps=args.steps, dt=dt,
-                    final_norm=float(jnp.linalg.norm(psi)),
+        if jax.default_backend() != "cpu" and args.method == "chebyshev":
+            psi0 = (sd.domain_wall_state if args.state == "domain_wall"
+                    else sd.neel_state)(model, dtype=jnp.float32)
+            planes, obs = sd.evolve_trajectory_planes(
+                model, psi0, dt, args.steps, cheb_n=args.cheb_n)
+            nrm = float(jnp.sqrt(jnp.vdot(planes[0], planes[0])
+                                 + jnp.vdot(planes[1], planes[1])))
+            psi_out = np.asarray(planes)
+        else:
+            psi0 = (sd.domain_wall_state if args.state == "domain_wall"
+                    else sd.neel_state)(model, dtype=jnp.complex64 if args.f32
+                                        else jnp.complex128)
+            psi, obs = sd.evolve_trajectory(model, psi0, dt, args.steps,
+                                            method=args.method,
+                                            cheb_n=args.cheb_n,
+                                            kry_m=args.kry_m)
+            nrm = float(jnp.linalg.norm(psi))
+            psi_out = np.asarray(psi)
+        info.update(steps=args.steps, dt=dt, final_norm=nrm,
                     solve_s=round(time.time() - t0, 2))
         if args.out:
-            np.savez(args.out, magnetization=obs, psi=np.asarray(psi))
+            np.savez(args.out, magnetization=obs, psi=psi_out)
     elif args.cmd == "typicality":
         ts = np.linspace(0.0, args.t_max, args.n_t)
         samples = []
