@@ -1,0 +1,46 @@
+"""CLI smoke tests (the integration layer)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from spindynamics_tpu.cli import main
+
+
+def run_cli(capsys, args):
+    rc = main(args)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    return json.loads(out)
+
+
+def test_cli_groundstate(capsys):
+    info = run_cli(capsys, ["groundstate", "--L", "10", "--sz0", "--f64",
+                            "--lanc-m", "50"])
+    assert info["dim"] == 252
+    assert info["E0"] == pytest.approx(-7.1805, abs=1e-3)
+    assert info["residual"] < 1e-8
+
+
+def test_cli_sqw_and_outfile(tmp_path, capsys):
+    out = str(tmp_path / "s.npz")
+    info = run_cli(capsys, ["sqw", "--method", "lanczos", "--L", "8", "--sz0",
+                            "--f64", "--n-omega", "30", "--lanc-m", "30",
+                            "--out", out])
+    data = np.load(out)
+    assert data["S"].shape == (8, 30)
+    assert np.isfinite(data["S"]).all()
+
+
+def test_cli_evolve(capsys):
+    info = run_cli(capsys, ["evolve", "--L", "8", "--nup", "4", "--f64",
+                            "--steps", "4", "--t-max", "0.4"])
+    assert abs(info["final_norm"] - 1.0) < 1e-6
+
+
+def test_cli_typicality(capsys):
+    info = run_cli(capsys, ["typicality", "--L", "8", "--sz0", "--f64",
+                            "--beta", "0.5", "--n-t", "2"])
+    # <Sz^2> at t=0 ~ 0.25
+    assert info["C0"] == pytest.approx(0.25, abs=0.02)
