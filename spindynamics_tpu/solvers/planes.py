@@ -27,6 +27,7 @@ __all__ = [
     "planes_matvec_fn",
     "chebyshev_time_evolve_planes",
     "krylov_time_evolve_planes",
+    "krylov_imaginary_time_evolve_planes",
     "chebyshev_moments_planes",
     "kpm_sqw_planes",
     "lanczos_tridiag_planes",
@@ -198,6 +199,33 @@ def krylov_time_evolve_planes(planes, model_or_pmv, dt, kry_m=30,
                                  jnp.float32(dt), renormalize)
 
 
+@partial(jax.jit, static_argnums=(0, 2, 4))
+def _krylov_planes_expm_real(pmv, planes, m, tau, renormalize):
+    """e^{-tau H} on planes (imaginary time; all-real throughout)."""
+    V, alphas, betas, nrm = _krylov_planes_factorize(pmv, planes, m)
+    T = jnp.diag(alphas)
+    if m > 1:
+        T = T + jnp.diag(betas[: m - 1], 1) + jnp.diag(betas[: m - 1], -1)
+    D, Q = jnp.linalg.eigh(T)
+    y = Q @ (jnp.exp(-tau * D) * (Q[0, :] * nrm))
+    out_r = jnp.einsum("k,kn->n", y, V[:, 0, :])
+    out_i = jnp.einsum("k,kn->n", y, V[:, 1, :])
+    out = jnp.stack([out_r, out_i])
+    if renormalize:
+        n2 = jnp.sqrt(_pnorm2(out))
+        out = out / jnp.maximum(n2, jnp.finfo(jnp.float32).tiny)
+    return out
+
+
+def krylov_imaginary_time_evolve_planes(planes, model_or_pmv, tau, kry_m=30,
+                                        backend=None, renormalize=False):
+    """e^{-tau H} on an f32 [2, N] plane stack (cf. krylov_imaginary_time_evolve)."""
+    pmv = (planes_matvec_fn(model_or_pmv, backend)
+           if isinstance(model_or_pmv, SpinModel) else model_or_pmv)
+    return _krylov_planes_expm_real(pmv, jnp.asarray(planes, jnp.float32), kry_m,
+                                    jnp.float32(tau), renormalize)
+
+
 @partial(jax.jit, static_argnums=(0, 2))
 def _moments_planes_scan(pmvr, phi, M):
     """mu_n = Re<phi|T_n|phi> on planes (phi normalized by caller)."""
@@ -231,22 +259,29 @@ def chebyshev_moments_planes(model_or_pmv, phi_planes, M, a, b, backend=None):
 
 def kpm_sqw_planes(psi_planes, model: SpinModel, q_list, omega, a, b,
                    kpm_m=200, kernel="jackson", backend=None, E0=None):
-    """S(q, omega) via KPM with zero complex dtypes (cf. kpm_sqw)."""
+    """S(q, omega) via KPM with zero complex dtypes (cf. kpm_sqw).
+
+    The q axis is vmapped into one batched moment recurrence, mirroring the
+    complex kpm_sqw."""
     psi_planes = jnp.asarray(psi_planes, jnp.float32)
-    rows = []
-    for q in q_list:
-        phi = sz_q_planes(model, psi_planes, float(q))
-        n2 = float(_pnorm2(phi))
-        if n2 <= 0:
-            rows.append(np.zeros(np.asarray(omega).shape[0]))
-            continue
-        phi = phi / np.float32(np.sqrt(n2))
-        mu = chebyshev_moments_planes(model, phi, kpm_m, a, b, backend=backend)
-        om = np.asarray(omega) + (E0 or 0.0)
-        S = kpm_reconstruct(mu, om, a, b, kernel=kernel, doubling=True,
-                            density_2_over_a=False)
-        rows.append(np.asarray(S))
-    return np.asarray(rows)
+    phis = jnp.stack([sz_q_planes(model, psi_planes, float(q)) for q in q_list])
+    n2 = jax.vmap(_pnorm2)(phis)
+    safe = jnp.sqrt(jnp.maximum(n2, jnp.finfo(jnp.float32).tiny))
+    phis = phis / safe[:, None, None]
+
+    pmv = planes_matvec_fn(model, backend)
+    a_inv = jnp.float32(1.0 / a)
+    bb = jnp.float32(b)
+
+    def pmvr(p):
+        return (pmv(p) - bb * p) * a_inv
+
+    mus = jax.vmap(lambda p: _moments_planes_scan(pmvr, p, kpm_m))(phis)
+    om = np.asarray(omega) + (E0 or 0.0)
+    S = kpm_reconstruct(mus, om, a, b, kernel=kernel, doubling=True,
+                        density_2_over_a=False)
+    S = jnp.where((n2 > 0)[:, None], S, 0.0)
+    return np.asarray(S)
 
 
 def lanczos_sqw_planes(psi_planes, model: SpinModel, q_list, omega, E0,
@@ -257,17 +292,21 @@ def lanczos_sqw_planes(psi_planes, model: SpinModel, q_list, omega, E0,
 
     pmv = planes_matvec_fn(model, backend)
     psi_planes = jnp.asarray(psi_planes, jnp.float32)
+    phis = jnp.stack([sz_q_planes(model, psi_planes, float(q)) for q in q_list])
+    alphas, betas, nrms = jax.vmap(
+        lambda p: _lanczos_planes_scan(pmv, p, lanc_m)
+    )(phis)
+    alphas = np.asarray(alphas)
+    betas = np.asarray(betas)
+    nrms = np.asarray(nrms)
     W = np.asarray(omega).shape[0]
     out = np.zeros((len(q_list), W))
-    for iq, q in enumerate(q_list):
-        phi = sz_q_planes(model, psi_planes, float(q))
-        alphas, betas, nrm = lanczos_tridiag_planes(pmv, phi, lanc_m)
-        nrm_f = float(nrm)
-        if nrm_f <= 0:
+    for iq in range(len(q_list)):
+        if nrms[iq] <= 0:
             continue
-        m_eff = min(int(np.sum(np.asarray(betas)[: lanc_m - 1] > 0)) + 1, lanc_m)
+        m_eff = min(int(np.sum(betas[iq, : lanc_m - 1] > 0)) + 1, lanc_m)
         out[iq] = spectral_from_tridiagonal(
-            np.asarray(alphas), np.asarray(betas), nrm_f, E0, omega,
+            alphas[iq], betas[iq], float(nrms[iq]), E0, omega,
             eta=eta, broaden=broaden, m_eff=m_eff,
         )
     return out

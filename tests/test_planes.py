@@ -101,3 +101,15 @@ def test_sqw_planes_paths(setup):
                                doubling_trick=False))
     K_pl = kpm_sqw_planes(psi0_planes, m, q, omega, a, b, kpm_m=64)
     assert np.allclose(K_pl, K_ref, atol=1e-4 + 0.02 * max(K_ref.max(), 1e-9))
+
+
+def test_krylov_imaginary_planes(setup):
+    from spindynamics_tpu import krylov_imaginary_time_evolve
+    from spindynamics_tpu.solvers.planes import krylov_imaginary_time_evolve_planes
+
+    m, psi = setup
+    mv = matvec_fn(m)
+    want = np.asarray(krylov_imaginary_time_evolve(psi, mv, 0.4, kry_m=25))
+    got = to_c(krylov_imaginary_time_evolve_planes(as_planes(psi), m, 0.4,
+                                                   kry_m=25))
+    assert np.allclose(got, want, atol=2e-4 * np.abs(want).max() + 1e-6)
