@@ -126,10 +126,16 @@ def main(argv=None):
             np.savez(args.out, psi=np.asarray(psi), **{k: v for k, v in info.items()
                                                         if np.isscalar(v)})
     elif args.cmd == "sqw":
-        E0, psi0, _ = sd.lanczos_groundstate(mv, model.n_states,
-                                             lanc_m=args.lanc_m,
-                                             dtype=model.dtype,
-                                             mask=model.valid_mask())
+        if model.n_states * args.lanc_m * 8 > 4e9:
+            E0, psi0, _ = sd.lanczos_groundstate_restarted(
+                mv, model.n_states, lanc_m=min(args.lanc_m, 50), cycles=4,
+                dtype=model.dtype, mask=model.valid_mask(),
+                target_residual=1e-4)
+        else:
+            E0, psi0, _ = sd.lanczos_groundstate(mv, model.n_states,
+                                                 lanc_m=args.lanc_m,
+                                                 dtype=model.dtype,
+                                                 mask=model.valid_mask())
         q = [2 * np.pi * k / model.L for k in range(model.L)]
         omega = np.linspace(0.0, args.omega_max, args.n_omega)
         t0 = time.time()
