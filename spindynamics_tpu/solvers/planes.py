@@ -33,6 +33,8 @@ __all__ = [
     "lanczos_tridiag_planes",
     "lanczos_sqw_planes",
     "sz_q_planes",
+    "apply_spin_operator_planes",
+    "typicality_correlation_function_planes",
 ]
 
 
@@ -309,4 +311,75 @@ def lanczos_sqw_planes(psi_planes, model: SpinModel, q_list, omega, E0,
             alphas[iq], betas[iq], float(nrms[iq]), E0, omega,
             eta=eta, broaden=broaden, m_eff=m_eff,
         )
+    return out
+
+
+def apply_spin_operator_planes(planes, model: SpinModel, site: int, kind: str):
+    """Single-site spin operator on an f32 [2, N] plane stack (cf.
+    apply_spin_operator). 'z'/'plus'/'minus'/'x' act plane-wise; 'y' (imaginary
+    amplitudes) mixes the planes: i * (re + i im) = -im + i re."""
+    from ..ops.spin_ops import apply_spin_operator
+
+    re, im = planes[0], planes[1]
+    if kind != "y":
+        return jnp.stack([
+            apply_spin_operator(re, model, site, kind),
+            apply_spin_operator(im, model, site, kind),
+        ])
+    # S^y = -i/2 S^+ + i/2 S^- (all-real building blocks)
+    def pm_half(p):
+        return 0.5 * (apply_spin_operator(p, model, site, "plus")
+                      - apply_spin_operator(p, model, site, "minus"))
+
+    # out = -i * pm_half(psi): (-i)(a + ib) = b - i a
+    return jnp.stack([pm_half(im), -pm_half(re)])
+
+
+def typicality_correlation_function_planes(
+    model: SpinModel, beta: float, site_a: int, site_b: int, t_points,
+    kind: str = "z", key=None, kry_m: int = 30, cheb_n: int = 60,
+    Ebounds=None, backend: str | None = None,
+):
+    """<S^kind_a(t) S^kind_b(0)>_beta by quantum typicality, complex-free
+    (cf. typicality_correlation_function). Returns complex [T] (host numpy)."""
+    from .lanczos import estimate_energy_bounds
+    from .chebyshev import chebyshev_coefficients
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    N = model.n_states
+    kr, ki = jax.random.split(key)
+    r = jnp.stack([jax.random.normal(kr, (N,), jnp.float32),
+                   jax.random.normal(ki, (N,), jnp.float32)])
+    mask = model.valid_mask()
+    if mask is not None:
+        r = jnp.where(mask[None, :], r, 0)
+    r = r / jnp.sqrt(_pnorm2(r))
+
+    pmv = planes_matvec_fn(model, backend)
+    psi_b = _krylov_planes_expm_real(pmv, r, kry_m, jnp.float32(beta / 2.0), True)
+
+    if Ebounds is None:
+        mv = matvec_fn(model, backend)
+        Ebounds = estimate_energy_bounds(mv, N, dtype=jnp.float32,
+                                         mask=mask, lanc_m=60)
+
+    phi = apply_spin_operator_planes(psi_b, model, site_b, kind)
+    xi = psi_b
+
+    t_points = np.asarray(t_points, np.float64)
+    out = np.zeros(t_points.shape[0], np.complex128)
+    prev_t = 0.0
+    for i, t in enumerate(t_points):
+        dt = float(t - prev_t)
+        if abs(dt) > 1e-15:
+            coeffs = chebyshev_coefficients(dt, Ebounds[0], Ebounds[1], cheb_n)
+            phi = chebyshev_time_evolve_planes(phi, pmv, dt, Ebounds,
+                                               cheb_n=cheb_n, coeffs=coeffs)
+            xi = chebyshev_time_evolve_planes(xi, pmv, dt, Ebounds,
+                                              cheb_n=cheb_n, coeffs=coeffs)
+        prev_t = float(t)
+        a_phi = apply_spin_operator_planes(phi, model, site_a, kind)
+        re, im = _pdot(xi, a_phi)
+        out[i] = float(re) + 1j * float(im)
     return out

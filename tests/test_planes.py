@@ -113,3 +113,36 @@ def test_krylov_imaginary_planes(setup):
     got = to_c(krylov_imaginary_time_evolve_planes(as_planes(psi), m, 0.4,
                                                    kry_m=25))
     assert np.allclose(got, want, atol=2e-4 * np.abs(want).max() + 1e-6)
+
+
+def test_spin_operator_planes(setup):
+    from spindynamics_tpu import apply_spin_operator, build_model, nn_hopping
+    from spindynamics_tpu.solvers.planes import apply_spin_operator_planes
+
+    m = build_model(6, hopping=nn_hopping(6, 1.0), dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    psi = rng.normal(size=m.n_states) + 1j * rng.normal(size=m.n_states)
+    psi = jnp.asarray(psi)
+    for kind in ("z", "plus", "minus", "x", "y"):
+        want = np.asarray(apply_spin_operator(psi, m, 2, kind))
+        got = to_c(apply_spin_operator_planes(as_planes(psi), m, 2, kind))
+        assert np.allclose(got, want, atol=1e-6), kind
+
+
+def test_typicality_planes_matches_complex():
+    import jax
+    from spindynamics_tpu import (
+        make_spin_operator, typicality_correlation_function, xxz_chain)
+    from spindynamics_tpu.solvers.planes import (
+        typicality_correlation_function_planes)
+
+    m = xxz_chain(8, Jxy=1.0, Jz=0.5, nup=4, dtype=jnp.float64)
+    ts = [0.0, 0.3]
+    C_ref = typicality_correlation_function(
+        m, 1.0, make_spin_operator(2, "z"), make_spin_operator(3, "z"), ts,
+        method="chebyshev", key=jax.random.PRNGKey(4), kry_m=30, cheb_n=40,
+    )
+    C_pl = typicality_correlation_function_planes(
+        m, 1.0, 2, 3, ts, key=jax.random.PRNGKey(4), kry_m=30, cheb_n=40,
+    )
+    assert np.allclose(C_pl, C_ref, atol=2e-4)
