@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import basis as basis_mod
 from ..model import SpinModel
 
 __all__ = [

@@ -30,8 +30,6 @@ XLA fuses them into the accumulation for free.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

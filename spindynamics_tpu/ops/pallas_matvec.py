@@ -22,8 +22,6 @@ Restrictions (fall back to ops/blocked.py otherwise):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

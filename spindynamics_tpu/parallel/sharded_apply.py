@@ -10,8 +10,6 @@ full vector fits comfortably in HBM)."""
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

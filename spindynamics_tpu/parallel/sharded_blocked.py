@@ -21,8 +21,6 @@ bonds, each a pairwise exchange that rides a single ICI hop on a torus.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

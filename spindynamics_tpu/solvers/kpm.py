@@ -22,7 +22,6 @@ from ..model import SpinModel
 from ..ops.apply import apply_rescaled_H, matvec_fn
 from ..ops.spin_ops import apply_spin_operator, sz_q_vector
 from .chebyshev import (
-    _moment_scan,
     chebyshev_moments,
     chebyshev_cross_moments,
     kpm_reconstruct,

@@ -8,15 +8,13 @@ the TPU (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..model import SpinModel
-from ..ops.apply import apply_H, matvec_fn
-from ..ops.spin_ops import sz_q_vector, sz_q_weights
+from ..ops.apply import matvec_fn
+from ..ops.spin_ops import sz_q_vector
 from .lanczos import _lanczos_scan, tridiag_eigh
 
 __all__ = ["spectral_from_tridiagonal", "lanczos_sqw"]

@@ -19,9 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..model import SpinModel
-from ..ops.apply import apply_H, matvec_fn
-from .chebyshev import chebyshev_coefficients, get_kernel, kpm_reconstruct
-from .lanczos import tridiag_eigh
+from ..ops.apply import matvec_fn
+from .chebyshev import chebyshev_coefficients, kpm_reconstruct
 
 __all__ = [
     "planes_matvec_fn",

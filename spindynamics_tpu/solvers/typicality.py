@@ -22,7 +22,7 @@ import numpy as np
 
 from ..model import SpinModel
 from ..ops.apply import matvec_fn
-from .chebyshev import chebyshev_coefficients, chebyshev_time_evolve
+from .chebyshev import chebyshev_time_evolve
 from .krylov import krylov_imaginary_time_evolve, krylov_time_evolve
 from .lanczos import estimate_energy_bounds
 
