@@ -45,7 +45,7 @@ __all__ = ["SpinModel", "build_model", "nn_hopping", "long_range_hopping"]
         "binom",
     ],
     meta_fields=["L", "nup", "mode", "n_valid", "hop_sites", "zz_sites",
-                 "n_states_static"],
+                 "n_states_static", "lo_bits"],
 )
 @dataclasses.dataclass(frozen=True)
 class SpinModel:
@@ -87,6 +87,10 @@ class SpinModel:
     # For full/embedded layouts states == arange(2^L); storing that array wastes
     # HBM (1 GB at L=28), so `states` may be None with the length kept here.
     n_states_static: int | None = None
+    # Set for layout='sector_blocked': the basis is ordered (k_hi, rank_hi,
+    # rank_lo) with lo_bits low bits (see ops/sector_blocked.py); index lookups
+    # use blocked_rank instead of the plain combinadic rank.
+    lo_bits: int | None = None
 
     @property
     def n_states(self) -> int:
@@ -293,8 +297,40 @@ def build_model(
     space on the gather-free flip backend — the fast path on TPU, trading
     ~sqrt(L) memory overhead for a matvec with zero gathers; the sector is an
     exact invariant subspace, see SpinModel.valid_mask."""
-    if layout not in ("compact", "embedded"):
+    if layout not in ("compact", "embedded", "sector_blocked"):
         raise ValueError(f"unknown layout {layout!r}")
+    if layout == "sector_blocked":
+        if nup is None:
+            raise ValueError("layout='sector_blocked' requires nup")
+        from .ops.sector_blocked import (
+            blocked_order_states, make_sector_blocked_layout)
+
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+        hop_i, hop_j, hop_J = _couplings_to_arrays(hopping, L, np_dtype)
+        zz_i, zz_j, zz_J = _couplings_to_arrays(zz, L, np_dtype)
+        field = (
+            np.zeros(L, np_dtype)
+            if onsite_field is None
+            else np.asarray(onsite_field, dtype=np_dtype)
+        )
+        hop_sites = tuple(zip(hop_i.tolist(), hop_j.tolist()))
+        lay = make_sector_blocked_layout(
+            (L, nup, hop_sites, hop_J.astype(np.float64).tolist())
+        )
+        states = blocked_order_states(L, nup, lay.Ll)
+        diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
+        binom = basis_mod.binomial_table(L, nup)
+        dev = lambda x: jnp.asarray(x)
+        return SpinModel(
+            L=L, nup=nup, mode="sector",
+            states=dev(states), diag=dev(diag), field=dev(field),
+            hop_i=dev(hop_i), hop_j=dev(hop_j), hop_J=dev(hop_J),
+            zz_i=dev(zz_i), zz_j=dev(zz_j), zz_J=dev(zz_J),
+            nbr=None, binom=dev(binom.astype(np.int32)),
+            hop_sites=hop_sites,
+            zz_sites=tuple(zip(zz_i.tolist(), zz_j.tolist())),
+            lo_bits=lay.Ll,
+        )
     if layout == "embedded":
         if nup is None:
             raise ValueError("layout='embedded' requires nup")

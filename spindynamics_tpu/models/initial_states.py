@@ -61,6 +61,10 @@ def state_index(model: SpinModel, bitstring: int) -> int:
         raise ValueError(
             f"state {bitstring:#x} has wrong magnetization for sector nup={model.nup}"
         )
+    if model.lo_bits is not None:
+        from ..ops.sector_blocked import blocked_rank
+
+        return blocked_rank(bitstring, model.L, model.nup, model.lo_bits)
     return basis_mod.rank_state(bitstring, model.L, model.nup)
 
 

@@ -131,6 +131,8 @@ def apply_H(psi: jax.Array, model: SpinModel, backend: str | None = None) -> jax
             # fused Pallas kernel on accelerators; blocked XLA on CPU (where
             # the Pallas interpreter would be the slowest path)
             backend = "blocked" if jax.default_backend() == "cpu" else "pallas"
+        elif model.lo_bits is not None:
+            backend = "sector_blocked"
         else:
             backend = "ell"
     if backend == "ell":
@@ -145,6 +147,15 @@ def apply_H(psi: jax.Array, model: SpinModel, backend: str | None = None) -> jax
         from .pallas_matvec import apply_H_pallas
 
         return apply_H_pallas(psi, model)
+    if backend == "sector_blocked":
+        from .sector_blocked import apply_H_sector_blocked, make_sector_blocked_layout
+
+        lay = make_sector_blocked_layout(
+            (model.L, model.nup, model.hop_sites,
+             tuple(np.asarray(model.hop_J, np.float64).tolist())),
+            model.lo_bits,
+        )
+        return apply_H_sector_blocked(psi, model.diag, lay)
     raise ValueError(f"unknown backend {backend!r}")
 
 
