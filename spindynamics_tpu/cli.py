@@ -26,11 +26,12 @@ def _build_model(args):
     if layout == "auto":
         import jax
 
-        layout = (
-            "embedded"
-            if (nup is not None and jax.default_backend() != "cpu" and args.L < 30)
-            else "compact"
-        )
+        if nup is None or jax.default_backend() == "cpu" or args.L < 16:
+            layout = "compact"
+        elif args.L < 24:
+            layout = "embedded"  # fastest wall-clock in this range
+        else:
+            layout = "sector_blocked"  # exact sector memory; L>=24 fastest too
     h = None
     if args.field:
         h = [float(x) for x in args.field.split(",")]
@@ -49,7 +50,8 @@ def _add_common(p):
     p.add_argument("--jz", type=float, default=1.0)
     p.add_argument("--field", type=str, default=None,
                    help="comma-separated onsite fields")
-    p.add_argument("--layout", choices=["auto", "compact", "embedded"],
+    p.add_argument("--layout",
+                   choices=["auto", "compact", "embedded", "sector_blocked"],
                    default="auto")
     p.add_argument("--f32", action="store_true", default=None)
     p.add_argument("--f64", dest="f32", action="store_false")
