@@ -188,6 +188,8 @@ def kpm_reconstruct(
     S = S / denom
     if density_2_over_a:
         S = S * (2.0 / a)
+    if clamp is None:
+        # without clamping the density blows up outside the domain: zero there
         S = jnp.where(inside, S, 0.0)
     if clip_nonneg:
         S = jnp.maximum(S, 0.0)
