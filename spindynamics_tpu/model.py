@@ -317,8 +317,51 @@ def build_model(
         lay = make_sector_blocked_layout(
             (L, nup, hop_sites, hop_J.astype(np.float64).tolist())
         )
-        states = blocked_order_states(L, nup, lay.Ll)
-        diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
+        if device_build is None:
+            device_build = (
+                basis_mod.sector_dimension(L, nup) >= (1 << 22)
+                and jax.default_backend() != "cpu"
+            )
+        if device_build:
+            # per-group outer products + diagonal on the accelerator: the hi/lo
+            # enumerations are tiny, only the N-sized assembly is heavy
+            f32 = jnp.dtype(dtype)
+            Ll = lay.Ll
+            field_nz = [(int(i), float(field[i])) for i in np.nonzero(field)[0]]
+            zz_terms = [
+                (int(i), int(j), float(J)) for i, j, J in zip(zz_i, zz_j, zz_J)
+            ]
+
+            @jax.jit
+            def build(his_los):
+                parts, dparts = [], []
+                for his, los in his_los:
+                    blk = (
+                        (his[:, None].astype(jnp.uint32) << np.uint32(Ll))
+                        | los[None, :].astype(jnp.uint32)
+                    ).reshape(-1)
+                    acc = jnp.zeros(blk.shape, f32)
+                    for i, h in field_nz:
+                        acc = acc + h * (
+                            ((blk >> np.uint32(i)) & 1).astype(f32) - 0.5
+                        )
+                    for i, j, J in zz_terms:
+                        bi = ((blk >> np.uint32(i)) & 1).astype(f32) - 0.5
+                        bj = ((blk >> np.uint32(j)) & 1).astype(f32) - 0.5
+                        acc = acc + J * bi * bj
+                    parts.append(blk)
+                    dparts.append(acc)
+                return jnp.concatenate(parts), jnp.concatenate(dparts)
+
+            his_los = tuple(
+                (jnp.asarray(basis_mod.build_sector_basis(L - Ll, k)),
+                 jnp.asarray(basis_mod.build_sector_basis(Ll, nup - k)))
+                for (k, _, _) in lay.groups
+            )
+            states, diag = build(his_los)
+        else:
+            states = blocked_order_states(L, nup, lay.Ll)
+            diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
         binom = basis_mod.binomial_table(L, nup)
         dev = lambda x: jnp.asarray(x)
         return SpinModel(
