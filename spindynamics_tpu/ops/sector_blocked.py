@@ -213,10 +213,61 @@ def make_sector_blocked_layout(model_or_args, Ll: int | None = None
     return _cached_layout(L, nup, Ll, tuple(hop_sites), hop_J)
 
 
+def _device_tables(layout: SectorBlockedLayout):
+    """One-time conversion of the layout's host tables into DEVICE arrays.
+
+    Tables referenced during tracing as host numpy become jaxpr constants whose
+    VALUES are serialized into the (remote) compile request — at L=32 that is
+    ~160 MB of index tables and blows the compile service's request limit.
+    Pre-placed device arrays are captured by reference instead."""
+    if getattr(layout, "_dev", None) is not None:
+        return layout._dev
+    # May be reached inside a jit trace (apply dispatched under jit); force
+    # eager array creation so cached device arrays are not trace-local tracers.
+    import contextlib
+
+    ctx = jax.ensure_compile_time_eval()
+    with ctx:
+        return _device_tables_eager(layout)
+
+
+def _device_tables_eager(layout: SectorBlockedLayout):
+    dev = {"Wlo": {}, "hi": {}, "cut": {}}
+    for (k, ch, cl) in layout.groups:
+        if layout.Wlo[k] is not None:
+            dev["Wlo"][k] = jnp.asarray(layout.Wlo[k])
+        hi = []
+        for (J, rows_src) in layout.hi_tables[k]:
+            hi.append((
+                J,
+                jnp.asarray(np.where(rows_src >= 0, rows_src, 0)),
+                jnp.asarray((rows_src >= 0).astype(np.float32)),
+            ))
+        dev["hi"][k] = hi
+        cut = []
+        for (J, inv_row, col_dst, k_src) in layout.cut[k]:
+            cl_src = col_dst.shape[0]
+            cl_dst = cl
+            C = np.zeros((cl_src, cl_dst), np.float32)
+            ok = col_dst >= 0
+            C[np.arange(cl_src)[ok], col_dst[ok]] = 1.0
+            cut.append((
+                J,
+                jnp.asarray(np.where(inv_row >= 0, inv_row, 0)),
+                jnp.asarray((inv_row >= 0).astype(np.float32)),
+                jnp.asarray(C),
+                k_src,
+            ))
+        dev["cut"][k] = cut
+    layout._dev = dev
+    return dev
+
+
 def apply_H_sector_blocked(psi: jax.Array, diag: jax.Array,
                            layout: SectorBlockedLayout) -> jax.Array:
     """H|psi> in the blocked sector order. `diag` must be in the SAME order."""
     rdtype = psi.real.dtype if jnp.iscomplexobj(psi) else psi.dtype
+    dev = _device_tables(layout)
     out_parts = []
     # pre-slice groups
     slices = {}
@@ -229,26 +280,17 @@ def apply_H_sector_blocked(psi: jax.Array, diag: jax.Array,
         Mk = slices[k]
         acc = (diag[o : o + ch * cl].astype(psi.dtype) * psi[o : o + ch * cl]
                ).reshape(ch, cl)
-        if layout.Wlo[k] is not None:
-            W = jnp.asarray(layout.Wlo[k], rdtype)
-            acc = acc + Mk @ W
-        for (J, rows_src) in layout.hi_tables[k]:
-            idx = jnp.asarray(np.where(rows_src >= 0, rows_src, 0))
-            valid = jnp.asarray((rows_src >= 0).astype(np.float32), rdtype)
+        if k in dev["Wlo"]:
+            acc = acc + Mk @ dev["Wlo"][k].astype(rdtype)
+        for (J, idx, valid) in dev["hi"][k]:
             gathered = jnp.take(Mk, idx, axis=0)
-            acc = acc + jnp.asarray(J, rdtype) * (valid[:, None] * gathered)
-        for (J, inv_row, col_dst, k_src) in layout.cut[k]:
+            acc = acc + jnp.asarray(J, rdtype) * (
+                valid.astype(rdtype)[:, None] * gathered
+            )
+        for (J, idx, rvalid, C, k_src) in dev["cut"][k]:
             Msrc = slices[k_src]
-            idx = jnp.asarray(np.where(inv_row >= 0, inv_row, 0))
-            rvalid = jnp.asarray((inv_row >= 0).astype(np.float32), rdtype)
             rows = jnp.take(Msrc, idx, axis=0)  # [ch_dst, cl_src]
-            rows = rvalid[:, None] * rows
-            # rectangular one-hot col map: out[., dst] += rows[., src]
-            cl_src = col_dst.shape[0]
-            cl_dst = acc.shape[1]
-            C = np.zeros((cl_src, cl_dst), np.float32)
-            ok = col_dst >= 0
-            C[np.arange(cl_src)[ok], col_dst[ok]] = 1.0
-            acc = acc + jnp.asarray(J, rdtype) * (rows @ jnp.asarray(C, rdtype))
+            rows = rvalid.astype(rdtype)[:, None] * rows
+            acc = acc + jnp.asarray(J, rdtype) * (rows @ C.astype(rdtype))
         out_parts.append(acc.reshape(-1))
     return jnp.concatenate(out_parts)
