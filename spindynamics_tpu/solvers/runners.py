@@ -29,12 +29,12 @@ def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
                              Ebounds=None, cheb_n: int = 30,
                              backend: str | None = None, lanc_m: int = 60,
                              observe=magnetization_per_site):
-    """Chebyshev trajectory with ONLY f32 buffers at jit boundaries.
+    """Chebyshev trajectory with ZERO complex dtypes anywhere.
 
-    The complex state lives as an f32 [2, N] real/imag plane stack between
-    steps; each step is one jit whose interior does complex arithmetic. Needed
-    on PJRT backends that cannot hold complex buffers at rest (see
-    utils/complex_io); also a fine default anywhere. Returns (planes, obs)."""
+    The state lives as an f32 [2, N] real/imag plane stack between steps and
+    each step runs the hand-rolled plane recurrence (solvers/planes.py). Needed
+    on PJRT backends without complex support (see utils/complex_io); also a
+    fine default anywhere. Returns (planes, obs)."""
     import jax
 
     from .planes import chebyshev_time_evolve_planes, planes_matvec_fn
