@@ -179,3 +179,22 @@ def test_sharded_blocked_long_range(mesh):
     mv = sharded_blocked_matvec_fn(m, mesh, plan=plan)
     got = np.asarray(mv(shard_state(psi, mesh)))
     assert np.allclose(got, want, atol=1e-12), np.abs(got - want).max()
+
+
+def test_sharded_planes_trajectory(mesh):
+    """Complex-free plane trajectory with the state sharded over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from spindynamics_tpu.solvers.planes import (
+        chebyshev_time_evolve_planes, planes_matvec_fn)
+
+    m = xxz_chain(10, Jxy=1.0, Jz=0.5, nup=5, dtype=jnp.float64,
+                  layout="embedded")
+    psi0 = np.asarray(domain_wall_state(m, dtype=jnp.float32))
+    planes = jnp.stack([jnp.asarray(psi0), jnp.zeros_like(jnp.asarray(psi0))])
+    bounds = (-8.0, 8.0)
+    want = np.asarray(chebyshev_time_evolve_planes(planes, m, 0.2, bounds,
+                                                   cheb_n=24))
+    planes_sh = jax.device_put(planes, NamedSharding(mesh, P(None, "rows")))
+    got = np.asarray(chebyshev_time_evolve_planes(planes_sh, m, 0.2, bounds,
+                                                  cheb_n=24))
+    assert np.allclose(got, want, atol=1e-6)
