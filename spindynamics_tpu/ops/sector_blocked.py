@@ -35,7 +35,8 @@ from .. import basis as basis_mod
 from ..model import SpinModel
 
 __all__ = ["SectorBlockedLayout", "make_sector_blocked_layout",
-           "apply_H_sector_blocked", "blocked_order_states", "blocked_rank"]
+           "apply_H_sector_blocked", "sector_blocked_tables",
+           "blocked_order_states", "blocked_rank"]
 
 
 class SectorBlockedLayout:
@@ -232,42 +233,54 @@ def _device_tables(layout: SectorBlockedLayout):
 
 
 def _device_tables_eager(layout: SectorBlockedLayout):
+    dev = sector_blocked_tables(layout)
+    layout._dev = jax.tree_util.tree_map(jnp.asarray, dev)
+    return layout._dev
+
+
+def sector_blocked_tables(layout: SectorBlockedLayout):
+    """Arrays-only pytree of the layout's tables (host numpy).
+
+    Pass `jax.tree_util.tree_map(jnp.asarray, tables)` as an EXPLICIT argument
+    of your jitted function for very large L: on this environment's remote
+    compiler even captured device constants are serialized into the compile
+    request, and at L=32 the ~200 MB of index tables exceed its size limit —
+    real arguments never ship with the program."""
     dev = {"Wlo": {}, "hi": {}, "cut": {}}
     for (k, ch, cl) in layout.groups:
         if layout.Wlo[k] is not None:
-            dev["Wlo"][k] = jnp.asarray(layout.Wlo[k])
+            dev["Wlo"][k] = layout.Wlo[k]
         hi = []
         for (J, rows_src) in layout.hi_tables[k]:
             hi.append((
-                J,
-                jnp.asarray(np.where(rows_src >= 0, rows_src, 0)),
-                jnp.asarray((rows_src >= 0).astype(np.float32)),
+                np.where(rows_src >= 0, rows_src, 0).astype(np.int32),
+                (rows_src >= 0).astype(np.float32),
             ))
         dev["hi"][k] = hi
         cut = []
         for (J, inv_row, col_dst, k_src) in layout.cut[k]:
             cl_src = col_dst.shape[0]
-            cl_dst = cl
-            C = np.zeros((cl_src, cl_dst), np.float32)
+            C = np.zeros((cl_src, cl), np.float32)
             ok = col_dst >= 0
             C[np.arange(cl_src)[ok], col_dst[ok]] = 1.0
             cut.append((
-                J,
-                jnp.asarray(np.where(inv_row >= 0, inv_row, 0)),
-                jnp.asarray((inv_row >= 0).astype(np.float32)),
-                jnp.asarray(C),
-                k_src,
+                np.where(inv_row >= 0, inv_row, 0).astype(np.int32),
+                (inv_row >= 0).astype(np.float32),
+                C,
             ))
         dev["cut"][k] = cut
-    layout._dev = dev
     return dev
 
 
 def apply_H_sector_blocked(psi: jax.Array, diag: jax.Array,
-                           layout: SectorBlockedLayout) -> jax.Array:
-    """H|psi> in the blocked sector order. `diag` must be in the SAME order."""
+                           layout: SectorBlockedLayout,
+                           tables=None) -> jax.Array:
+    """H|psi> in the blocked sector order. `diag` must be in the SAME order.
+
+    `tables` (from sector_blocked_tables, device-converted) may be threaded as
+    an explicit jit argument — required at very large L, see its docstring."""
     rdtype = psi.real.dtype if jnp.iscomplexobj(psi) else psi.dtype
-    dev = _device_tables(layout)
+    dev = tables if tables is not None else _device_tables(layout)
     out_parts = []
     # pre-slice groups
     slices = {}
@@ -281,16 +294,18 @@ def apply_H_sector_blocked(psi: jax.Array, diag: jax.Array,
         acc = (diag[o : o + ch * cl].astype(psi.dtype) * psi[o : o + ch * cl]
                ).reshape(ch, cl)
         if k in dev["Wlo"]:
-            acc = acc + Mk @ dev["Wlo"][k].astype(rdtype)
-        for (J, idx, valid) in dev["hi"][k]:
-            gathered = jnp.take(Mk, idx, axis=0)
+            acc = acc + Mk @ jnp.asarray(dev["Wlo"][k]).astype(rdtype)
+        for (J, _rows), (idx, valid) in zip(layout.hi_tables[k], dev["hi"][k]):
+            gathered = jnp.take(Mk, jnp.asarray(idx), axis=0)
             acc = acc + jnp.asarray(J, rdtype) * (
-                valid.astype(rdtype)[:, None] * gathered
+                jnp.asarray(valid).astype(rdtype)[:, None] * gathered
             )
-        for (J, idx, rvalid, C, k_src) in dev["cut"][k]:
+        for (J, _ir, _cd, k_src), (idx, rvalid, C) in zip(
+            layout.cut[k], dev["cut"][k]
+        ):
             Msrc = slices[k_src]
-            rows = jnp.take(Msrc, idx, axis=0)  # [ch_dst, cl_src]
-            rows = rvalid.astype(rdtype)[:, None] * rows
-            acc = acc + jnp.asarray(J, rdtype) * (rows @ C.astype(rdtype))
+            rows = jnp.take(Msrc, jnp.asarray(idx), axis=0)  # [ch_dst, cl_src]
+            rows = jnp.asarray(rvalid).astype(rdtype)[:, None] * rows
+            acc = acc + jnp.asarray(J, rdtype) * (rows @ jnp.asarray(C).astype(rdtype))
         out_parts.append(acc.reshape(-1))
     return jnp.concatenate(out_parts)
