@@ -250,13 +250,22 @@ def sector_blocked_tables(layout: SectorBlockedLayout):
     for (k, ch, cl) in layout.groups:
         if layout.Wlo[k] is not None:
             dev["Wlo"][k] = layout.Wlo[k]
-        hi = []
-        for (J, rows_src) in layout.hi_tables[k]:
-            hi.append((
-                np.where(rows_src >= 0, rows_src, 0).astype(np.int32),
-                (rows_src >= 0).astype(np.float32),
-            ))
-        dev["hi"][k] = hi
+        if layout.hi_tables[k]:
+            # stacked per-bond tables: the apply runs a fori_loop over bonds so
+            # only ONE gathered temp is live at a time (unrolled per-bond
+            # gathers kept ~n_bonds group-sized temps alive -> OOM at L=32)
+            idx_stack = np.stack([
+                np.where(rows_src >= 0, rows_src, 0).astype(np.int32)
+                for (_, rows_src) in layout.hi_tables[k]
+            ])
+            valid_stack = np.stack([
+                (rows_src >= 0).astype(np.float32)
+                for (_, rows_src) in layout.hi_tables[k]
+            ])
+            J_vec = np.asarray([J for (J, _) in layout.hi_tables[k]], np.float32)
+            dev["hi"][k] = (idx_stack, valid_stack, J_vec)
+        else:
+            dev["hi"][k] = None
         cut = []
         for (J, inv_row, col_dst, k_src) in layout.cut[k]:
             cl_src = col_dst.shape[0]
@@ -295,11 +304,21 @@ def apply_H_sector_blocked(psi: jax.Array, diag: jax.Array,
                ).reshape(ch, cl)
         if k in dev["Wlo"]:
             acc = acc + Mk @ jnp.asarray(dev["Wlo"][k]).astype(rdtype)
-        for (J, _rows), (idx, valid) in zip(layout.hi_tables[k], dev["hi"][k]):
-            gathered = jnp.take(Mk, jnp.asarray(idx), axis=0)
-            acc = acc + jnp.asarray(J, rdtype) * (
-                jnp.asarray(valid).astype(rdtype)[:, None] * gathered
+        if dev["hi"][k] is not None:
+            idx_stack, valid_stack, J_vec = (
+                jnp.asarray(dev["hi"][k][0]),
+                jnp.asarray(dev["hi"][k][1]),
+                jnp.asarray(dev["hi"][k][2]),
             )
+
+            def hi_body(b, acc, Mk=Mk, idx_stack=idx_stack,
+                        valid_stack=valid_stack, J_vec=J_vec):
+                gathered = jnp.take(Mk, idx_stack[b], axis=0)
+                return acc + J_vec[b].astype(rdtype) * (
+                    valid_stack[b].astype(rdtype)[:, None] * gathered
+                )
+
+            acc = jax.lax.fori_loop(0, idx_stack.shape[0], hi_body, acc)
         for (J, _ir, _cd, k_src), (idx, rvalid, C) in zip(
             layout.cut[k], dev["cut"][k]
         ):
