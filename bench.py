@@ -30,6 +30,11 @@ from functools import partial
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        # the ambient sitecustomize pins the TPU platform regardless of
+        # JAX_PLATFORMS; an explicit in-process override is required for CPU runs
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
     import numpy as np
 

@@ -11,11 +11,11 @@ import numpy as np
 
 def test_bench_smoke():
     env = dict(os.environ)
-    env.update(JAX_PLATFORMS="cpu", BENCH_L="12", BENCH_BACKEND="blocked",
-               BENCH_REPS="6")
+    env.update(JAX_PLATFORMS="cpu", BENCH_PLATFORM="cpu", BENCH_L="10",
+               BENCH_BACKEND="blocked", BENCH_REPS="5")
     out = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True,
-        timeout=300, env=env,
+        timeout=600, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out.returncode == 0, out.stderr[-500:]
