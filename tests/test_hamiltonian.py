@@ -106,3 +106,28 @@ def test_matvec_under_jit_and_vmap(rng):
     batched = np.asarray(jax.vmap(f)(jnp.asarray(psis)))
     assert np.allclose(batched, single, atol=1e-12)
     assert np.allclose(batched, psis @ H.T, atol=1e-10)
+
+
+def test_backend_fuzz_random_bond_sets(rng):
+    """Property fuzz: random bond sets / couplings / fields — all backends agree
+    with the dense oracle."""
+    import itertools
+
+    for trial in range(6):
+        L = int(rng.integers(5, 11))
+        pairs = list(itertools.combinations(range(L), 2))
+        rng.shuffle(pairs)
+        nb = int(rng.integers(1, min(len(pairs), 8) + 1))
+        hopping = [(i, j, float(rng.normal())) for (i, j) in pairs[:nb]]
+        zz = [(i, j, float(rng.normal())) for (i, j) in pairs[: nb // 2]]
+        h = rng.normal(size=L) * 0.5
+        from spindynamics_tpu import build_model
+
+        m = build_model(L, hopping=hopping, onsite_field=h, zz=zz,
+                        dtype=jnp.float64, build_neighbor_table=True)
+        H = build_dense_H(m)
+        psi = jnp.asarray(rng.normal(size=m.n_states))
+        want = H @ np.asarray(psi)
+        for backend in ("ell", "tensor", "blocked"):
+            got = np.asarray(apply_H(psi, m, backend=backend))
+            assert np.allclose(got, want, atol=1e-9), (trial, backend)
