@@ -246,7 +246,33 @@ def _moments_planes_scan(pmvr, phi, M):
     return jnp.stack([mu0, mu1])[:M]
 
 
-def chebyshev_moments_planes(model_or_pmv, phi_planes, M, a, b, backend=None):
+@partial(jax.jit, static_argnums=(0, 2))
+def _moments_planes_doubled(pmvr, phi, M):
+    """M moments from ~M/2 matvecs on planes (product identities; cf.
+    chebyshev_moments(doubling_trick=True))."""
+    half = (M + 1) // 2
+    mu0, _ = _pdot(phi, phi)
+    v_curr = pmvr(phi)
+    mu1, _ = _pdot(phi, v_curr)
+
+    def step(carry, _):
+        v_prev, v_curr = carry
+        v_next = 2.0 * pmvr(v_curr) - v_prev
+        even = 2.0 * _pdot(v_curr, v_curr)[0] - mu0
+        odd = 2.0 * _pdot(v_next, v_curr)[0] - mu1
+        return (v_curr, v_next), (even, odd)
+
+    _, (evens, odds) = jax.lax.scan(step, (phi, v_curr), None,
+                                    length=max(half, 1))
+    mus = jnp.zeros(2 * half + 2, mu0.dtype)
+    mus = mus.at[0].set(mu0).at[1].set(mu1)
+    mus = mus.at[2::2].set(evens)
+    mus = mus.at[3::2].set(odds)
+    return mus[:M]
+
+
+def chebyshev_moments_planes(model_or_pmv, phi_planes, M, a, b, backend=None,
+                             doubling_trick=False):
     pmv = (planes_matvec_fn(model_or_pmv, backend)
            if isinstance(model_or_pmv, SpinModel) else model_or_pmv)
     a_inv = jnp.float32(1.0 / a)
@@ -255,11 +281,15 @@ def chebyshev_moments_planes(model_or_pmv, phi_planes, M, a, b, backend=None):
     def pmvr(p):
         return (pmv(p) - bb * p) * a_inv
 
-    return _moments_planes_scan(pmvr, jnp.asarray(phi_planes, jnp.float32), M)
+    phi = jnp.asarray(phi_planes, jnp.float32)
+    if doubling_trick:
+        return _moments_planes_doubled(pmvr, phi, M)
+    return _moments_planes_scan(pmvr, phi, M)
 
 
 def kpm_sqw_planes(psi_planes, model: SpinModel, q_list, omega, a, b,
-                   kpm_m=200, kernel="jackson", backend=None, E0=None):
+                   kpm_m=200, kernel="jackson", backend=None, E0=None,
+                   doubling_trick=True):
     """S(q, omega) via KPM with zero complex dtypes (cf. kpm_sqw).
 
     The q axis is vmapped into one batched moment recurrence, mirroring the
@@ -277,7 +307,10 @@ def kpm_sqw_planes(psi_planes, model: SpinModel, q_list, omega, a, b,
     def pmvr(p):
         return (pmv(p) - bb * p) * a_inv
 
-    mus = jax.vmap(lambda p: _moments_planes_scan(pmvr, p, kpm_m))(phis)
+    mus = jax.vmap(
+        lambda p: _moments_planes_doubled(pmvr, p, kpm_m)
+        if doubling_trick else _moments_planes_scan(pmvr, p, kpm_m)
+    )(phis)
     om = np.asarray(omega) + (E0 or 0.0)
     S = kpm_reconstruct(mus, om, a, b, kernel=kernel, doubling=True,
                         density_2_over_a=False)

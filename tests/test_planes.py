@@ -146,3 +146,14 @@ def test_typicality_planes_matches_complex():
         m, 1.0, 2, 3, ts, key=jax.random.PRNGKey(4), kry_m=30, cheb_n=40,
     )
     assert np.allclose(C_pl, C_ref, atol=2e-4)
+
+
+def test_moments_planes_doubling(setup):
+    from spindynamics_tpu.solvers.planes import chebyshev_moments_planes
+
+    m, psi = setup
+    a, b = 6.0, -0.5
+    plain = np.asarray(chebyshev_moments_planes(m, as_planes(psi), 33, a, b))
+    doubled = np.asarray(chebyshev_moments_planes(m, as_planes(psi), 33, a, b,
+                                                  doubling_trick=True))
+    assert np.allclose(doubled, plain, atol=2e-5)
