@@ -45,7 +45,7 @@ __all__ = ["SpinModel", "build_model", "nn_hopping", "long_range_hopping"]
         "binom",
     ],
     meta_fields=["L", "nup", "mode", "n_valid", "hop_sites", "zz_sites",
-                 "n_states_static", "lo_bits"],
+                 "n_states_static", "lo_bits", "kron_splits"],
 )
 @dataclasses.dataclass(frozen=True)
 class SpinModel:
@@ -91,6 +91,9 @@ class SpinModel:
     # rank_lo) with lo_bits low bits (see ops/sector_blocked.py); index lookups
     # use blocked_rank instead of the plain combinadic rank.
     lo_bits: int | None = None
+    # Set for layout='sector_kron': basis ordered by (k_hi, k_mid) groups over
+    # the (L1, L2, L3) bit split (see ops/sector_kron.py); lookups use kron_rank.
+    kron_splits: tuple | None = None
 
     @property
     def n_states(self) -> int:
@@ -297,8 +300,87 @@ def build_model(
     space on the gather-free flip backend — the fast path on TPU, trading
     ~sqrt(L) memory overhead for a matvec with zero gathers; the sector is an
     exact invariant subspace, see SpinModel.valid_mask."""
-    if layout not in ("compact", "embedded", "sector_blocked"):
+    if layout not in ("compact", "embedded", "sector_blocked", "sector_kron"):
         raise ValueError(f"unknown layout {layout!r}")
+    if layout == "sector_kron":
+        if nup is None:
+            raise ValueError("layout='sector_kron' requires nup")
+        from .ops.sector_kron import (
+            kron_order_states, make_sector_kron_layout)
+
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+        hop_i, hop_j, hop_J = _couplings_to_arrays(hopping, L, np_dtype)
+        zz_i, zz_j, zz_J = _couplings_to_arrays(zz, L, np_dtype)
+        field = (
+            np.zeros(L, np_dtype)
+            if onsite_field is None
+            else np.asarray(onsite_field, dtype=np_dtype)
+        )
+        hop_sites = tuple(zip(hop_i.tolist(), hop_j.tolist()))
+        lay = make_sector_kron_layout(
+            (L, nup, hop_sites, hop_J.astype(np.float64).tolist())
+        )
+        if device_build is None:
+            device_build = (
+                basis_mod.sector_dimension(L, nup) >= (1 << 22)
+                and jax.default_backend() != "cpu"
+            )
+        if device_build:
+            # per-group (hi, mid, lo) outer products + diagonal on device —
+            # the part enumerations are tiny, only the N-sized assembly is heavy
+            f32 = jnp.dtype(dtype)
+            L1, L2, L3 = lay.splits
+            field_nz = [(int(i), float(field[i])) for i in np.nonzero(field)[0]]
+            zz_terms = [
+                (int(i), int(j), float(J)) for i, j, J in zip(zz_i, zz_j, zz_J)
+            ]
+
+            @jax.jit
+            def build(triples):
+                parts, dparts = [], []
+                for his, mids, los in triples:
+                    blk = (
+                        (his[:, None, None].astype(jnp.uint32)
+                         << np.uint32(L1 + L2))
+                        | (mids[None, :, None].astype(jnp.uint32)
+                           << np.uint32(L1))
+                        | los[None, None, :].astype(jnp.uint32)
+                    ).reshape(-1)
+                    acc = jnp.zeros(blk.shape, f32)
+                    for i, h in field_nz:
+                        acc = acc + h * (
+                            ((blk >> np.uint32(i)) & 1).astype(f32) - 0.5
+                        )
+                    for i, j, J in zz_terms:
+                        bi = ((blk >> np.uint32(i)) & 1).astype(f32) - 0.5
+                        bj = ((blk >> np.uint32(j)) & 1).astype(f32) - 0.5
+                        acc = acc + J * bi * bj
+                    parts.append(blk)
+                    dparts.append(acc)
+                return jnp.concatenate(parts), jnp.concatenate(dparts)
+
+            triples = tuple(
+                (jnp.asarray(basis_mod.build_sector_basis(L3, k_h)),
+                 jnp.asarray(basis_mod.build_sector_basis(L2, k_m)),
+                 jnp.asarray(basis_mod.build_sector_basis(L1, k_l)))
+                for (k_h, k_m, k_l, _, _, _) in lay.groups
+            )
+            states, diag = build(triples)
+        else:
+            states = kron_order_states(L, nup, lay.splits)
+            diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
+        binom = basis_mod.binomial_table(L, nup)
+        dev = lambda x: jnp.asarray(x)
+        return SpinModel(
+            L=L, nup=nup, mode="sector",
+            states=dev(states), diag=dev(diag), field=dev(field),
+            hop_i=dev(hop_i), hop_j=dev(hop_j), hop_J=dev(hop_J),
+            zz_i=dev(zz_i), zz_j=dev(zz_j), zz_J=dev(zz_J),
+            nbr=None, binom=dev(binom.astype(np.int32)),
+            hop_sites=hop_sites,
+            zz_sites=tuple(zip(zz_i.tolist(), zz_j.tolist())),
+            kron_splits=lay.splits,
+        )
     if layout == "sector_blocked":
         if nup is None:
             raise ValueError("layout='sector_blocked' requires nup")

@@ -61,6 +61,10 @@ def state_index(model: SpinModel, bitstring: int) -> int:
         raise ValueError(
             f"state {bitstring:#x} has wrong magnetization for sector nup={model.nup}"
         )
+    if model.kron_splits is not None:
+        from ..ops.sector_kron import kron_rank
+
+        return kron_rank(bitstring, model.L, model.nup, model.kron_splits)
     if model.lo_bits is not None:
         from ..ops.sector_blocked import blocked_rank
 

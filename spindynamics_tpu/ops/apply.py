@@ -131,6 +131,8 @@ def apply_H(psi: jax.Array, model: SpinModel, backend: str | None = None) -> jax
             # fused Pallas kernel on accelerators; blocked XLA on CPU (where
             # the Pallas interpreter would be the slowest path)
             backend = "blocked" if jax.default_backend() == "cpu" else "pallas"
+        elif model.kron_splits is not None:
+            backend = "sector_kron"
         elif model.lo_bits is not None:
             backend = "sector_blocked"
         else:
@@ -156,6 +158,15 @@ def apply_H(psi: jax.Array, model: SpinModel, backend: str | None = None) -> jax
             model.lo_bits,
         )
         return apply_H_sector_blocked(psi, model.diag, lay)
+    if backend == "sector_kron":
+        from .sector_kron import apply_H_sector_kron, make_sector_kron_layout
+
+        lay = make_sector_kron_layout(
+            (model.L, model.nup, model.hop_sites,
+             tuple(np.asarray(model.hop_J, np.float64).tolist())),
+            model.kron_splits,
+        )
+        return apply_H_sector_kron(psi, model.diag, lay)
     raise ValueError(f"unknown backend {backend!r}")
 
 

@@ -94,13 +94,13 @@ def blocked_rank(state: int, L: int, nup: int, Ll: int) -> int:
             + basis_mod.rank_state(lo, Ll, k_lo))
 
 
-def _lo_offdiag_dense(Ll, k_lo, lo_bonds):
-    """Weighted off-diagonal lo-sector Hamiltonian [C_lo, C_lo] (numpy f32).
+def _lo_offdiag_dense(Ll, k_lo, lo_bonds, dtype=np.float32):
+    """Weighted off-diagonal lo-sector Hamiltonian [C_lo, C_lo] (numpy).
 
     W[src, dst] so that out = M @ W gives out[., dst] += J * M[., src]."""
     states = _sector_states(Ll, k_lo)
     n = states.shape[0]
-    W = np.zeros((n, n), dtype=np.float32)
+    W = np.zeros((n, n), dtype=dtype)
     for (i, j, J) in lo_bonds:
         mask = np.uint32((1 << i) | (1 << j))
         differ = (((states >> np.uint32(i)) ^ (states >> np.uint32(j))) & 1).astype(bool)

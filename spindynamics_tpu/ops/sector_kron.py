@@ -1,0 +1,321 @@
+"""3-way Kronecker-factorized compact-sector matvec: every bond is an MXU matmul.
+
+The 2-way `sector_blocked` layout (ops/sector_blocked.py) folds lo-part bonds
+into one dense matmul but leaves hi-part bonds as per-bond row gathers — at
+L >= 28 those gathers dominate (each is a full pass over the state). This
+layout splits the chain's bits into THREE parts, lo [0, L1), mid [L1, L1+L2),
+hi [L1+L2, L), and orders the U(1)-sector basis by (k_hi, k_mid) groups: each
+group is a rank-3 tensor
+
+    G[k_hi, k_mid]  of shape  [C(L3, k_hi), C(L2, k_mid), C(L1, k_lo)],
+
+with k_lo = nup - k_hi - k_mid.  Under this decomposition (the MPO view of H
+over a 3-way sublattice coding):
+
+  - a bond with both bits in ONE part folds — together with every other such
+    bond — into that part's dense sector operator  W_part[k]  [C, C]; applying
+    it is a single contraction of the corresponding tensor axis (an MXU matmul
+    for lo/hi; a batched matmul for mid).
+  - a bond CROSSING two parts factorizes into two direction terms (S+S- and
+    S-S+), each a product of two rectangular ONE-HOT matrices acting on the two
+    touched axes (a single-bit flip within a part is a masked rank permutation
+    that changes the part's magnetization by +-1, i.e. maps group -> group).
+    Bonds sharing the same second-part bit merge: sum_i J_ij U_i is dense on
+    the first axis, one matrix pair per (part-pair, bit j, direction).
+
+So the ENTIRE off-diagonal apply is matmuls — zero gathers, exact (one-hot
+rows select a single product), and sharding-friendly (the hi axis of each
+group is a clean row-partition axis; the hi contraction is a plain sharded
+matmul). Memory stays exactly C(L, nup) amplitudes plus O(C_part^2) tables.
+
+Reference parity: this implements apply_H! (src/Hamiltonian.jl:119-184)
+restricted to a magnetization sector, replacing the Dict-lookup scatter loop.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import basis as basis_mod
+from ..model import SpinModel
+from .sector_blocked import _lo_offdiag_dense, _sector_states
+
+__all__ = [
+    "SectorKronLayout",
+    "make_sector_kron_layout",
+    "apply_H_sector_kron",
+    "sector_kron_tables",
+    "kron_order_states",
+    "kron_rank",
+    "default_kron_splits",
+]
+
+
+def default_kron_splits(L: int) -> tuple[int, int, int]:
+    """(L1, L2, L3): largest lo part with C(L1, L1//2) <= 512 (the MXU sweet
+    spot for the lane-axis matmul), remainder split mid >= hi."""
+    L1 = 2
+    while L1 + 1 <= L - 2 and math.comb(L1 + 1, (L1 + 1) // 2) <= 512:
+        L1 += 1
+    rest = L - L1
+    L3 = rest // 2
+    L2 = rest - L3
+    return (L1, L2, L3)
+
+
+def _group_list(L, nup, splits):
+    """Ordered [(k_h, k_m, k_l, C_h, C_m, C_l)] over valid (k_h, k_m)."""
+    L1, L2, L3 = splits
+    out = []
+    for k_h in range(0, min(L3, nup) + 1):
+        for k_m in range(0, min(L2, nup - k_h) + 1):
+            k_l = nup - k_h - k_m
+            if not 0 <= k_l <= L1:
+                continue
+            out.append((k_h, k_m, k_l,
+                        math.comb(L3, k_h), math.comb(L2, k_m),
+                        math.comb(L1, k_l)))
+    return out
+
+
+def kron_order_states(L: int, nup: int, splits) -> np.ndarray:
+    """uint32 sector states in ((k_h, k_m) group, rank_h, rank_m, rank_l) order."""
+    L1, L2, L3 = splits
+    parts = []
+    for (k_h, k_m, k_l, _, _, _) in _group_list(L, nup, splits):
+        his = _sector_states(L3, k_h).astype(np.uint64)
+        mids = _sector_states(L2, k_m).astype(np.uint64)
+        los = _sector_states(L1, k_l).astype(np.uint64)
+        blk = ((his[:, None, None] << np.uint64(L1 + L2))
+               | (mids[None, :, None] << np.uint64(L1))
+               | los[None, None, :])
+        parts.append(blk.reshape(-1))
+    return np.concatenate(parts).astype(np.uint32)
+
+
+def kron_rank(state: int, L: int, nup: int, splits) -> int:
+    """Host rank of a state in the kron order (replaces the Dict idxmap)."""
+    L1, L2, L3 = splits
+    lo = state & ((1 << L1) - 1)
+    mid = (state >> L1) & ((1 << L2) - 1)
+    hi = state >> (L1 + L2)
+    k_h = bin(hi).count("1")
+    k_m = bin(mid).count("1")
+    k_l = nup - k_h - k_m
+    off = 0
+    for (gkh, gkm, gkl, ch, cm, cl) in _group_list(L, nup, splits):
+        if (gkh, gkm) == (k_h, k_m):
+            return (off
+                    + (basis_mod.rank_state(hi, L3, k_h) * cm
+                       + basis_mod.rank_state(mid, L2, k_m)) * cl
+                    + basis_mod.rank_state(lo, L1, k_l))
+        off += ch * cm * cl
+    raise ValueError(f"state {state:#x} not in sector nup={nup}")
+
+
+def _flip_matrix(Lp: int, k_src: int, p: int, v: int):
+    """One-hot [C(Lp,k_src), C(Lp,k_dst)] for flipping bit p when it equals v.
+
+    v=1: S-_p (k -> k-1); v=0: S+_p (k -> k+1). None if k_dst out of range or
+    no source state has bit p == v."""
+    k_dst = k_src - 1 if v == 1 else k_src + 1
+    if not 0 <= k_dst <= Lp:
+        return None
+    S = _sector_states(Lp, k_src).astype(np.int64)
+    D = _sector_states(Lp, k_dst).astype(np.int64)
+    valid = ((S >> p) & 1) == v
+    if not valid.any():
+        return None
+    U = np.zeros((S.shape[0], D.shape[0]), np.float64)
+    dst = np.searchsorted(D, S[valid] ^ (1 << p))
+    U[np.nonzero(valid)[0], dst] = 1.0
+    return U
+
+
+class SectorKronLayout:
+    """Static structure of the 3-way layout for one (L, nup, bonds) model."""
+
+    def __init__(self, L, nup, splits, groups, offsets, W, cross_meta, cross_mats):
+        self.L, self.nup, self.splits = L, nup, splits
+        self.groups = groups            # [(k_h, k_m, k_l, C_h, C_m, C_l)]
+        self.offsets = offsets          # [int] per group
+        self.W = W                      # [W_lo, W_mid, W_hi]: dict k -> np [C, C]
+        self.cross_meta = cross_meta    # [g_dst] -> [(g_src, part_a, part_b)]
+        self.cross_mats = cross_mats    # [g_dst] -> [(A np, B np)]  (J in A)
+        self._dev = None
+
+    @property
+    def n_states(self):
+        return sum(ch * cm * cl for (_, _, _, ch, cm, cl) in self.groups)
+
+
+@lru_cache(maxsize=None)
+def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key):
+    L1, L2, L3 = splits
+    if L1 + L2 + L3 != L or min(L1, L2, L3) < 1:
+        raise ValueError(f"bad splits {splits} for L={L}")
+    hop_J = np.asarray(hop_J_key, np.float64)
+    start = [0, L1, L1 + L2]
+    plen = [L1, L2, L3]
+
+    def part_of(bit):
+        return 0 if bit < L1 else (1 if bit < L1 + L2 else 2)
+
+    within = {0: [], 1: [], 2: []}
+    # (pa, pb, rel_j, dir) -> [(rel_i, J)];  dir=+1: bit i 1->0, bit j 0->1
+    cross_specs = {}
+    for b, (si, sj) in enumerate(hop_sites):
+        i, j = min(si, sj), max(si, sj)
+        J = float(hop_J[b])
+        pa, pb = part_of(i), part_of(j)
+        if pa == pb:
+            within[pa].append((i - start[pa], j - start[pa], J))
+        else:
+            for d in (+1, -1):
+                cross_specs.setdefault((pa, pb, j - start[pb], d), []).append(
+                    (i - start[pa], J)
+                )
+
+    groups = _group_list(L, nup, splits)
+    offsets, off = [], 0
+    key_index = {}
+    for gi, (k_h, k_m, k_l, ch, cm, cl) in enumerate(groups):
+        offsets.append(off)
+        key_index[(k_h, k_m)] = gi
+        off += ch * cm * cl
+
+    # within-part dense sector operators, per occurring part-magnetization
+    W = [{}, {}, {}]
+    for p in range(3):
+        if not within[p]:
+            continue
+        # part-p magnetization per group tuple: p=0 -> k_l (g[2]),
+        # p=1 -> k_m (g[1]), p=2 -> k_h (g[0])
+        ks = sorted({g[[2, 1, 0][p]] for g in groups})
+        for k in ks:
+            # f64 tables: J values stay exact under x64 validation; device
+            # conversion downcasts to f32 where x64 is off (TPU)
+            Wk = _lo_offdiag_dense(plen[p], k, within[p], dtype=np.float64)
+            if np.any(Wk):
+                W[p][k] = Wk
+
+    # cross contributions, grouped by DESTINATION group
+    cross_meta = [[] for _ in groups]
+    cross_mats = [[] for _ in groups]
+    for (pa, pb, rel_j, d), terms in sorted(cross_specs.items()):
+        va = 1 if d == +1 else 0
+        vb = 1 - va
+        for g_src, (k_h, k_m, k_l, ch, cm, cl) in enumerate(groups):
+            kp = [k_l, k_m, k_h]  # per-part magnetization, indexed by part
+            A = None
+            for (rel_i, J) in terms:
+                U = _flip_matrix(plen[pa], kp[pa], rel_i, va)
+                if U is not None:
+                    A = J * U if A is None else A + J * U
+            if A is None or not np.any(A):
+                continue
+            B = _flip_matrix(plen[pb], kp[pb], rel_j, vb)
+            if B is None:
+                continue
+            kp_dst = list(kp)
+            kp_dst[pa] -= d
+            kp_dst[pb] += d
+            g_dst = key_index.get((kp_dst[2], kp_dst[1]))
+            if g_dst is None:
+                continue
+            cross_meta[g_dst].append((g_src, pa, pb))
+            cross_mats[g_dst].append((A, B))
+    return SectorKronLayout(L, nup, splits, groups, offsets, W,
+                            cross_meta, cross_mats)
+
+
+def make_sector_kron_layout(model_or_args, splits=None) -> SectorKronLayout:
+    if isinstance(model_or_args, SpinModel):
+        m = model_or_args
+        if m.nup is None:
+            raise ValueError("sector_kron requires a sector (nup set)")
+        L, nup = m.L, m.nup
+        hop_sites = m.hop_sites
+        hop_J = tuple(np.asarray(m.hop_J, np.float64).tolist())
+    else:
+        L, nup, hop_sites, hop_J = model_or_args
+        hop_J = tuple(hop_J)
+    if splits is None:
+        splits = default_kron_splits(L)
+    return _cached_kron_layout(L, nup, tuple(splits), tuple(hop_sites), hop_J)
+
+
+def sector_kron_tables(layout: SectorKronLayout):
+    """Arrays-only pytree of the layout's matrices (host numpy).
+
+    Thread `jax.tree_util.tree_map(jnp.asarray, tables)` as an EXPLICIT jit
+    argument at very large L: the remote compiler serializes captured constants
+    into its request (see ops/sector_blocked.sector_blocked_tables)."""
+    return {
+        "W": [dict(layout.W[p]) for p in range(3)],
+        "cross": [list(mats) for mats in layout.cross_mats],
+    }
+
+
+def _device_tables(layout: SectorKronLayout):
+    if layout._dev is not None:
+        return layout._dev
+    with jax.ensure_compile_time_eval():
+        layout._dev = jax.tree_util.tree_map(
+            jnp.asarray, sector_kron_tables(layout)
+        )
+    return layout._dev
+
+
+def _contract(T, M, part, rdtype):
+    """Contract the tensor axis of `part` with M[src, dst] (M real)."""
+    eq = {0: "hml,ln->hmn", 1: "hml,mn->hnl", 2: "hml,hn->nml"}[part]
+    M = M.astype(rdtype)
+    if jnp.iscomplexobj(T):
+        re = jnp.einsum(eq, T.real, M, preferred_element_type=rdtype)
+        im = jnp.einsum(eq, T.imag, M, preferred_element_type=rdtype)
+        return jax.lax.complex(re, im).astype(T.dtype)
+    return jnp.einsum(eq, T, M, preferred_element_type=T.dtype)
+
+
+def apply_H_sector_kron(psi: jax.Array, diag: jax.Array,
+                        layout: SectorKronLayout, tables=None) -> jax.Array:
+    """H|psi> in the kron group order. `diag` must be in the SAME order."""
+    rdtype = psi.real.dtype if jnp.iscomplexobj(psi) else psi.dtype
+    dev = tables if tables is not None else _device_tables(layout)
+    G = []
+    for gi, (_, _, _, ch, cm, cl) in enumerate(layout.groups):
+        o = layout.offsets[gi]
+        G.append(psi[o : o + ch * cm * cl].reshape(ch, cm, cl))
+
+    outs = []
+    for gi, (k_h, k_m, k_l, ch, cm, cl) in enumerate(layout.groups):
+        o = layout.offsets[gi]
+        n = ch * cm * cl
+        acc = (diag[o : o + n].astype(psi.dtype) * psi[o : o + n]).reshape(
+            ch, cm, cl
+        )
+        for p, k in ((0, k_l), (1, k_m), (2, k_h)):
+            if k in dev["W"][p]:
+                acc = acc + _contract(G[gi], dev["W"][p][k], p, rdtype)
+        for (g_src, pa, pb), (A, B) in zip(
+            layout.cross_meta[gi], dev["cross"][gi]
+        ):
+            T = G[g_src]
+            # contract the more-shrinking axis first to keep the temp small
+            ra = A.shape[1] / A.shape[0]
+            rb = B.shape[1] / B.shape[0]
+            if ra <= rb:
+                T = _contract(T, A, pa, rdtype)
+                T = _contract(T, B, pb, rdtype)
+            else:
+                T = _contract(T, B, pb, rdtype)
+                T = _contract(T, A, pa, rdtype)
+            acc = acc + T
+        outs.append(acc.reshape(-1))
+    return jnp.concatenate(outs)

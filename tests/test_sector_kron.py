@@ -1,0 +1,155 @@
+"""3-way Kronecker-factorized sector layout: all-matmul matvec (ops/sector_kron.py).
+
+Oracle: dense H built from the ascending-order compact model (exact at 1e-10 in
+x64), reordered into the kron group order — the same sector-vs-oracle pattern as
+the reference's embedding test (test/runtests.jl:52-91)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spindynamics_tpu import build_dense_H, build_model, xxz_chain
+from spindynamics_tpu.ops.sector_kron import (
+    apply_H_sector_kron,
+    default_kron_splits,
+    kron_order_states,
+    kron_rank,
+    make_sector_kron_layout,
+)
+
+
+def _oracle_check(m, splits, rng, atol=1e-10):
+    H = build_dense_H(m)
+    states_asc = np.asarray(m.states)
+    states_k = kron_order_states(m.L, m.nup, splits)
+    assert np.array_equal(np.sort(states_k), states_asc)
+    perm = np.searchsorted(states_asc, states_k)
+    layout = make_sector_kron_layout(
+        (m.L, m.nup, m.hop_sites, tuple(np.asarray(m.hop_J, np.float64).tolist())),
+        splits,
+    )
+    assert layout.n_states == m.n_states
+    psi = rng.normal(size=m.n_states)
+    want = (H @ psi)[perm]
+    got = np.asarray(
+        apply_H_sector_kron(
+            jnp.asarray(psi[perm]), jnp.asarray(np.asarray(m.diag)[perm]), layout
+        )
+    )
+    assert np.abs(got - want).max() < atol
+
+
+@pytest.mark.parametrize(
+    "L,nup,splits",
+    [
+        (8, 4, (3, 3, 2)),
+        (10, 5, (4, 3, 3)),
+        (12, 6, (5, 4, 3)),
+        (12, 3, (4, 4, 4)),
+        (9, 7, (3, 3, 3)),
+    ],
+)
+def test_matvec_vs_dense(L, nup, splits, rng):
+    m = xxz_chain(L, Jxy=1.0, Jz=0.55, h=rng.normal(size=L) * 0.2, nup=nup,
+                  dtype=jnp.float64)
+    _oracle_check(m, splits, rng)
+
+
+def test_long_range_bonds(rng):
+    # all-pairs hopping exercises lo-mid, lo-hi, mid-hi crossings and the
+    # per-(part-pair, bit, direction) merging of one-hot factors
+    L, nup = 9, 4
+    hopping = [(i, j, 0.3 + 0.1 * (i + j)) for i in range(L)
+               for j in range(i + 1, L)]
+    zz = [(i, j, 0.2) for i in range(L - 1) for j in (i + 1,)]
+    m = build_model(L, nup=nup, hopping=hopping, zz=zz, dtype=jnp.float64)
+    _oracle_check(m, (3, 3, 3), rng)
+
+
+def test_random_bonds_fuzz(rng):
+    L, nup = 10, 5
+    for trial in range(4):
+        nb = int(rng.integers(1, 12))
+        bonds = set()
+        while len(bonds) < nb:
+            i, j = sorted(rng.integers(0, L, size=2).tolist())
+            if i != j:
+                bonds.add((i, j))
+        hopping = [(i, j, float(rng.normal())) for (i, j) in bonds]
+        m = build_model(L, nup=nup, hopping=hopping, dtype=jnp.float64)
+        _oracle_check(m, (4, 3, 3), rng)
+
+
+def test_complex_psi(rng):
+    m = xxz_chain(10, Jxy=1.0, Jz=1.0, nup=5, dtype=jnp.float64)
+    splits = (4, 3, 3)
+    H = build_dense_H(m)
+    states_asc = np.asarray(m.states)
+    perm = np.searchsorted(states_asc, kron_order_states(10, 5, splits))
+    layout = make_sector_kron_layout(
+        (10, 5, m.hop_sites, tuple(np.asarray(m.hop_J, np.float64).tolist())),
+        splits,
+    )
+    psi = rng.normal(size=m.n_states) + 1j * rng.normal(size=m.n_states)
+    want = (H @ psi)[perm]
+    got = np.asarray(
+        apply_H_sector_kron(
+            jnp.asarray(psi[perm]), jnp.asarray(np.asarray(m.diag)[perm]), layout
+        )
+    )
+    assert np.abs(got - want).max() < 1e-10
+
+
+def test_model_integration(rng):
+    from spindynamics_tpu import (
+        apply_H,
+        chebyshev_time_evolve,
+        domain_wall_state,
+        lanczos_groundstate,
+        magnetization_per_site,
+        matvec_fn,
+    )
+
+    m_c = xxz_chain(10, Jxy=1.0, Jz=0.5, nup=5, dtype=jnp.float64)
+    m_k = xxz_chain(10, Jxy=1.0, Jz=0.5, nup=5, dtype=jnp.float64,
+                    layout="sector_kron")
+    assert m_k.kron_splits is not None
+    # dispatch picks the kron backend and matches the compact apply (reordered)
+    states_asc = np.asarray(m_c.states)
+    perm = np.searchsorted(states_asc, np.asarray(m_k.states))
+    psi = rng.normal(size=m_c.n_states)
+    want = np.asarray(apply_H(jnp.asarray(psi), m_c, backend="ell"))
+    got = np.asarray(apply_H(jnp.asarray(psi[perm]), m_k))
+    assert np.allclose(got, want[perm], atol=1e-10)
+
+    E_c, _, _ = lanczos_groundstate(matvec_fn(m_c), m_c.n_states, lanc_m=50,
+                                    dtype=jnp.float64)
+    E_k, _, info = lanczos_groundstate(matvec_fn(m_k), m_k.n_states,
+                                       lanc_m=50, dtype=jnp.float64)
+    assert E_k == pytest.approx(E_c, abs=1e-9)
+    assert info["residual"] < 1e-8
+
+    # initial states and evolution work in the kron order
+    psi0 = domain_wall_state(m_k, dtype=jnp.complex128)
+    psi_t = chebyshev_time_evolve(psi0, matvec_fn(m_k), 0.2, (-8, 8), cheb_n=30)
+    mags_k = np.asarray(magnetization_per_site(psi_t, m_k))
+    psi0c = domain_wall_state(m_c, dtype=jnp.complex128)
+    psi_tc = chebyshev_time_evolve(psi0c, matvec_fn(m_c), 0.2, (-8, 8), cheb_n=30)
+    mags_c = np.asarray(magnetization_per_site(psi_tc, m_c))
+    assert np.allclose(mags_k, mags_c, atol=1e-10)
+
+
+def test_kron_rank_roundtrip():
+    splits = (4, 3, 3)
+    states = kron_order_states(10, 5, splits)
+    for i in range(0, len(states), 13):
+        assert kron_rank(int(states[i]), 10, 5, splits) == i
+
+
+def test_default_splits():
+    for L in (8, 12, 16, 24, 28, 32):
+        L1, L2, L3 = default_kron_splits(L)
+        assert L1 + L2 + L3 == L and min(L1, L2, L3) >= 1
+        import math
+
+        assert math.comb(L1, L1 // 2) <= 512
