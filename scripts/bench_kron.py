@@ -27,6 +27,13 @@ from spindynamics_tpu.utils.profiling import slope_timer
 def run(L, reps, kron_only):
     nup = L // 2
     t0 = time.time()
+    splits = os.environ.get("SPLITS")
+    kw = {}
+    if splits:
+        from spindynamics_tpu.ops import sector_kron as sk
+
+        sk.default_kron_splits = lambda L, _s=tuple(
+            int(x) for x in splits.split(",")): _s
     model = sd.xxz_chain(L, Jxy=1.0, Jz=0.5, nup=nup, dtype=jnp.float32,
                          layout="sector_kron")
     N = model.n_states

@@ -130,6 +130,15 @@ class SpinModel:
             if self.n_valid is not None:
                 m = jnp.logical_and(m, jnp.arange(self.n_states) < self.n_valid)
             return m
+        if self.mode == "sector" and self.kron_splits is not None:
+            # tile-padding slots carry PAD_SENTINEL (popcount 32 != nup);
+            # they form an exact zero-energy invariant null subspace
+            if self.n_valid is None:
+                return None  # unpadded kron layout: every slot is physical
+            return (
+                jax.lax.population_count(self.basis_states().astype(jnp.uint32))
+                == self.nup
+            )
         if self.n_valid is None:
             return None
         return jnp.arange(self.n_states) < self.n_valid
@@ -264,7 +273,7 @@ def _device_sector_setup(L, nup, binom, field, zz_i, zz_j, zz_J, hop_i, hop_j,
     if want_table and hop_i.shape[0] > 0:
         bonds = [(int(i), int(j)) for i, j in zip(hop_i, hop_j)]
 
-        @jax.jit
+        @partial(jax.jit, static_argnums=(1, 2))
         def build_col(states, bi, bj):
             mask = np.uint32((1 << bi) | (1 << bj))
             differ = (((states >> np.uint32(bi)) ^ (states >> np.uint32(bj))) & 1) == 1
@@ -335,16 +344,24 @@ def build_model(
                 (int(i), int(j), float(J)) for i, j, J in zip(zz_i, zz_j, zz_J)
             ]
 
+            from .ops.sector_kron import PAD_SENTINEL
+
             @jax.jit
             def build(triples):
                 parts, dparts = [], []
-                for his, mids, los in triples:
+                for (his, mids, los), (cmp, clp) in zip(triples, pad_dims):
                     blk = (
                         (his[:, None, None].astype(jnp.uint32)
                          << np.uint32(L1 + L2))
                         | (mids[None, :, None].astype(jnp.uint32)
                            << np.uint32(L1))
                         | los[None, None, :].astype(jnp.uint32)
+                    )
+                    blk = jnp.pad(
+                        blk,
+                        ((0, 0), (0, cmp - blk.shape[1]),
+                         (0, clp - blk.shape[2])),
+                        constant_values=PAD_SENTINEL,
                     ).reshape(-1)
                     acc = jnp.zeros(blk.shape, f32)
                     for i, h in field_nz:
@@ -355,6 +372,11 @@ def build_model(
                         bi = ((blk >> np.uint32(i)) & 1).astype(f32) - 0.5
                         bj = ((blk >> np.uint32(j)) & 1).astype(f32) - 0.5
                         acc = acc + J * bi * bj
+                    # pad slots: diag forced to 0 so they are an exact
+                    # zero-energy invariant null subspace
+                    acc = jnp.where(
+                        jax.lax.population_count(blk) == nup, acc, 0.0
+                    )
                     parts.append(blk)
                     dparts.append(acc)
                 return jnp.concatenate(parts), jnp.concatenate(dparts)
@@ -363,12 +385,16 @@ def build_model(
                 (jnp.asarray(basis_mod.build_sector_basis(L3, k_h)),
                  jnp.asarray(basis_mod.build_sector_basis(L2, k_m)),
                  jnp.asarray(basis_mod.build_sector_basis(L1, k_l)))
-                for (k_h, k_m, k_l, _, _, _) in lay.groups
+                for (k_h, k_m, k_l, *_rest) in lay.groups
             )
+            pad_dims = tuple((g[6], g[7]) for g in lay.groups)
             states, diag = build(triples)
         else:
-            states = kron_order_states(L, nup, lay.splits)
+            from .ops.sector_kron import PAD_SENTINEL
+
+            states = kron_order_states(L, nup, lay.splits, lay.pads)
             diag = _compute_diag(states, field, zz_i, zz_j, zz_J, np_dtype)
+            diag[states == PAD_SENTINEL] = 0.0
         binom = basis_mod.binomial_table(L, nup)
         dev = lambda x: jnp.asarray(x)
         return SpinModel(
@@ -380,6 +406,7 @@ def build_model(
             hop_sites=hop_sites,
             zz_sites=tuple(zip(zz_i.tolist(), zz_j.tolist())),
             kron_splits=lay.splits,
+            n_valid=(lay.n_basis if lay.n_states != lay.n_basis else None),
         )
     if layout == "sector_blocked":
         if nup is None:

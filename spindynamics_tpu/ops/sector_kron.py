@@ -26,7 +26,19 @@ over a 3-way sublattice coding):
 So the ENTIRE off-diagonal apply is matmuls — zero gathers, exact (one-hot
 rows select a single product), and sharding-friendly (the hi axis of each
 group is a clean row-partition axis; the hi contraction is a plain sharded
-matmul). Memory stays exactly C(L, nup) amplitudes plus O(C_part^2) tables.
+matmul). Memory is C(L, nup) amplitudes (plus tile padding, below) and
+O(C_part^2) tables.
+
+TILE PADDING: group tensors live inside ONE flat state vector; a flat->3D
+reshape is free only when the minor dims match the TPU (8, 128) tile, and
+measured relayout penalties otherwise reach 3-4x of the whole apply. So each
+group's (C_m, C_l) is zero-padded to (mult of 8, mult of 128): reshapes become
+bitcasts, group offsets are 1024-aligned, and every operator (W, one-hot
+factors, diag) is zero on pad slots, which keeps pad amplitudes EXACTLY zero —
+the same invariant-null-subspace trick the embedded layout uses
+(model.valid_mask masks random starts; pad slots carry state sentinel
+0xFFFFFFFF whose popcount can never equal nup). Measured overhead: 12-28%
+memory/bandwidth, against the eliminated relayouts.
 
 Reference parity: this implements apply_H! (src/Hamiltonian.jl:119-184)
 restricted to a magnetization sector, replacing the Dict-lookup scatter loop.
@@ -68,37 +80,53 @@ def default_kron_splits(L: int) -> tuple[int, int, int]:
     return (L1, L2, L3)
 
 
-def _group_list(L, nup, splits):
-    """Ordered [(k_h, k_m, k_l, C_h, C_m, C_l)] over valid (k_h, k_m)."""
+PAD_SENTINEL = np.uint32(0xFFFFFFFF)  # popcount 32 > any L-site nup
+DEFAULT_PADS = (8, 128)  # (sublane, lane) tile of f32
+
+
+def _pad_up(n, m):
+    return -(-n // m) * m
+
+
+def _group_list(L, nup, splits, pads=DEFAULT_PADS):
+    """Ordered [(k_h, k_m, k_l, C_h, C_m, C_l, C_m_pad, C_l_pad)] over valid
+    (k_h, k_m)."""
     L1, L2, L3 = splits
+    pm, pl = pads
     out = []
     for k_h in range(0, min(L3, nup) + 1):
         for k_m in range(0, min(L2, nup - k_h) + 1):
             k_l = nup - k_h - k_m
             if not 0 <= k_l <= L1:
                 continue
-            out.append((k_h, k_m, k_l,
-                        math.comb(L3, k_h), math.comb(L2, k_m),
-                        math.comb(L1, k_l)))
+            cm = math.comb(L2, k_m)
+            cl = math.comb(L1, k_l)
+            out.append((k_h, k_m, k_l, math.comb(L3, k_h), cm, cl,
+                        _pad_up(cm, pm), _pad_up(cl, pl)))
     return out
 
 
-def kron_order_states(L: int, nup: int, splits) -> np.ndarray:
-    """uint32 sector states in ((k_h, k_m) group, rank_h, rank_m, rank_l) order."""
+def kron_order_states(L: int, nup: int, splits, pads=DEFAULT_PADS) -> np.ndarray:
+    """uint32 states in ((k_h, k_m) group, rank_h, rank_m, rank_l) order,
+    PAD_SENTINEL in tile-padding slots."""
     L1, L2, L3 = splits
     parts = []
-    for (k_h, k_m, k_l, _, _, _) in _group_list(L, nup, splits):
+    for (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in _group_list(L, nup, splits,
+                                                             pads):
         his = _sector_states(L3, k_h).astype(np.uint64)
         mids = _sector_states(L2, k_m).astype(np.uint64)
         los = _sector_states(L1, k_l).astype(np.uint64)
         blk = ((his[:, None, None] << np.uint64(L1 + L2))
                | (mids[None, :, None] << np.uint64(L1))
-               | los[None, None, :])
+               | los[None, None, :]).astype(np.uint32)
+        if (cmp, clp) != (cm, cl):
+            blk = np.pad(blk, ((0, 0), (0, cmp - cm), (0, clp - cl)),
+                         constant_values=PAD_SENTINEL)
         parts.append(blk.reshape(-1))
-    return np.concatenate(parts).astype(np.uint32)
+    return np.concatenate(parts)
 
 
-def kron_rank(state: int, L: int, nup: int, splits) -> int:
+def kron_rank(state: int, L: int, nup: int, splits, pads=DEFAULT_PADS) -> int:
     """Host rank of a state in the kron order (replaces the Dict idxmap)."""
     L1, L2, L3 = splits
     lo = state & ((1 << L1) - 1)
@@ -106,15 +134,15 @@ def kron_rank(state: int, L: int, nup: int, splits) -> int:
     hi = state >> (L1 + L2)
     k_h = bin(hi).count("1")
     k_m = bin(mid).count("1")
-    k_l = nup - k_h - k_m
     off = 0
-    for (gkh, gkm, gkl, ch, cm, cl) in _group_list(L, nup, splits):
+    for (gkh, gkm, gkl, ch, cm, cl, cmp, clp) in _group_list(L, nup, splits,
+                                                             pads):
         if (gkh, gkm) == (k_h, k_m):
             return (off
-                    + (basis_mod.rank_state(hi, L3, k_h) * cm
-                       + basis_mod.rank_state(mid, L2, k_m)) * cl
-                    + basis_mod.rank_state(lo, L1, k_l))
-        off += ch * cm * cl
+                    + (basis_mod.rank_state(hi, L3, k_h) * cmp
+                       + basis_mod.rank_state(mid, L2, k_m)) * clp
+                    + basis_mod.rank_state(lo, L1, gkl))
+        off += ch * cmp * clp
     raise ValueError(f"state {state:#x} not in sector nup={nup}")
 
 
@@ -140,22 +168,40 @@ def _flip_matrix(Lp: int, k_src: int, p: int, v: int):
 class SectorKronLayout:
     """Static structure of the 3-way layout for one (L, nup, bonds) model."""
 
-    def __init__(self, L, nup, splits, groups, offsets, W, cross_meta, cross_mats):
-        self.L, self.nup, self.splits = L, nup, splits
-        self.groups = groups            # [(k_h, k_m, k_l, C_h, C_m, C_l)]
-        self.offsets = offsets          # [int] per group
-        self.W = W                      # [W_lo, W_mid, W_hi]: dict k -> np [C, C]
+    def __init__(self, L, nup, splits, pads, groups, offsets, W, cross_meta,
+                 cross_mats):
+        self.L, self.nup, self.splits, self.pads = L, nup, splits, pads
+        # groups: [(k_h, k_m, k_l, C_h, C_m, C_l, C_m_pad, C_l_pad)]
+        self.groups = groups
+        self.offsets = offsets          # [int] per group (padded strides)
+        self.W = W                      # [W_lo, W_mid, W_hi]: dict k -> np [Cp, Cp]
         self.cross_meta = cross_meta    # [g_dst] -> [(g_src, part_a, part_b)]
         self.cross_mats = cross_mats    # [g_dst] -> [(A np, B np)]  (J in A)
         self._dev = None
 
     @property
     def n_states(self):
-        return sum(ch * cm * cl for (_, _, _, ch, cm, cl) in self.groups)
+        """Flat state-vector length INCLUDING tile padding."""
+        return sum(ch * cmp * clp
+                   for (_, _, _, ch, _, _, cmp, clp) in self.groups)
+
+    @property
+    def n_basis(self):
+        """Exact sector dimension C(L, nup)."""
+        return sum(ch * cm * cl
+                   for (_, _, _, ch, cm, cl, _, _) in self.groups)
+
+
+def _pad_mat(M, rows, cols):
+    if M.shape == (rows, cols):
+        return M
+    out = np.zeros((rows, cols), M.dtype)
+    out[: M.shape[0], : M.shape[1]] = M
+    return out
 
 
 @lru_cache(maxsize=None)
-def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key):
+def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads):
     L1, L2, L3 = splits
     if L1 + L2 + L3 != L or min(L1, L2, L3) < 1:
         raise ValueError(f"bad splits {splits} for L={L}")
@@ -181,15 +227,23 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key):
                     (i - start[pa], J)
                 )
 
-    groups = _group_list(L, nup, splits)
+    pm, pl = pads
+
+    def pdim(p, k):
+        """Padded axis length of part p at part-magnetization k."""
+        c = math.comb(plen[p], k)
+        return c if p == 2 else _pad_up(c, pm if p == 1 else pl)
+
+    groups = _group_list(L, nup, splits, pads)
     offsets, off = [], 0
     key_index = {}
-    for gi, (k_h, k_m, k_l, ch, cm, cl) in enumerate(groups):
+    for gi, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in enumerate(groups):
         offsets.append(off)
         key_index[(k_h, k_m)] = gi
-        off += ch * cm * cl
+        off += ch * cmp * clp
 
-    # within-part dense sector operators, per occurring part-magnetization
+    # within-part dense sector operators, per occurring part-magnetization,
+    # zero-padded to the tile-padded axis lengths (pad slots stay exactly zero)
     W = [{}, {}, {}]
     for p in range(3):
         if not within[p]:
@@ -202,7 +256,7 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key):
             # conversion downcasts to f32 where x64 is off (TPU)
             Wk = _lo_offdiag_dense(plen[p], k, within[p], dtype=np.float64)
             if np.any(Wk):
-                W[p][k] = Wk
+                W[p][k] = _pad_mat(Wk, pdim(p, k), pdim(p, k))
 
     # cross contributions, grouped by DESTINATION group
     cross_meta = [[] for _ in groups]
@@ -210,7 +264,7 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key):
     for (pa, pb, rel_j, d), terms in sorted(cross_specs.items()):
         va = 1 if d == +1 else 0
         vb = 1 - va
-        for g_src, (k_h, k_m, k_l, ch, cm, cl) in enumerate(groups):
+        for g_src, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in enumerate(groups):
             kp = [k_l, k_m, k_h]  # per-part magnetization, indexed by part
             A = None
             for (rel_i, J) in terms:
@@ -229,12 +283,16 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key):
             if g_dst is None:
                 continue
             cross_meta[g_dst].append((g_src, pa, pb))
-            cross_mats[g_dst].append((A, B))
-    return SectorKronLayout(L, nup, splits, groups, offsets, W,
+            cross_mats[g_dst].append((
+                _pad_mat(A, pdim(pa, kp[pa]), pdim(pa, kp_dst[pa])),
+                _pad_mat(B, pdim(pb, kp[pb]), pdim(pb, kp_dst[pb])),
+            ))
+    return SectorKronLayout(L, nup, splits, pads, groups, offsets, W,
                             cross_meta, cross_mats)
 
 
-def make_sector_kron_layout(model_or_args, splits=None) -> SectorKronLayout:
+def make_sector_kron_layout(model_or_args, splits=None,
+                            pads=DEFAULT_PADS) -> SectorKronLayout:
     if isinstance(model_or_args, SpinModel):
         m = model_or_args
         if m.nup is None:
@@ -242,12 +300,15 @@ def make_sector_kron_layout(model_or_args, splits=None) -> SectorKronLayout:
         L, nup = m.L, m.nup
         hop_sites = m.hop_sites
         hop_J = tuple(np.asarray(m.hop_J, np.float64).tolist())
+        if splits is None:
+            splits = m.kron_splits
     else:
         L, nup, hop_sites, hop_J = model_or_args
         hop_J = tuple(hop_J)
     if splits is None:
         splits = default_kron_splits(L)
-    return _cached_kron_layout(L, nup, tuple(splits), tuple(hop_sites), hop_J)
+    return _cached_kron_layout(L, nup, tuple(splits), tuple(hop_sites), hop_J,
+                               tuple(pads))
 
 
 def sector_kron_tables(layout: SectorKronLayout):
@@ -289,16 +350,16 @@ def apply_H_sector_kron(psi: jax.Array, diag: jax.Array,
     rdtype = psi.real.dtype if jnp.iscomplexobj(psi) else psi.dtype
     dev = tables if tables is not None else _device_tables(layout)
     G = []
-    for gi, (_, _, _, ch, cm, cl) in enumerate(layout.groups):
+    for gi, (_, _, _, ch, _, _, cmp, clp) in enumerate(layout.groups):
         o = layout.offsets[gi]
-        G.append(psi[o : o + ch * cm * cl].reshape(ch, cm, cl))
+        G.append(psi[o : o + ch * cmp * clp].reshape(ch, cmp, clp))
 
     outs = []
-    for gi, (k_h, k_m, k_l, ch, cm, cl) in enumerate(layout.groups):
+    for gi, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in enumerate(layout.groups):
         o = layout.offsets[gi]
-        n = ch * cm * cl
+        n = ch * cmp * clp
         acc = (diag[o : o + n].astype(psi.dtype) * psi[o : o + n]).reshape(
-            ch, cm, cl
+            ch, cmp, clp
         )
         for p, k in ((0, k_l), (1, k_m), (2, k_h)):
             if k in dev["W"][p]:

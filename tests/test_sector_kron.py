@@ -2,7 +2,8 @@
 
 Oracle: dense H built from the ascending-order compact model (exact at 1e-10 in
 x64), reordered into the kron group order — the same sector-vs-oracle pattern as
-the reference's embedding test (test/runtests.jl:52-91)."""
+the reference's embedding test (test/runtests.jl:52-91). Tile-padding slots
+(PAD_SENTINEL states) must stay exactly zero through the apply."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ import pytest
 
 from spindynamics_tpu import build_dense_H, build_model, xxz_chain
 from spindynamics_tpu.ops.sector_kron import (
+    PAD_SENTINEL,
     apply_H_sector_kron,
     default_kron_splits,
     kron_order_states,
@@ -18,41 +20,50 @@ from spindynamics_tpu.ops.sector_kron import (
 )
 
 
-def _oracle_check(m, splits, rng, atol=1e-10):
+def _oracle_check(m, splits, rng, pads=(8, 128), atol=1e-10):
     H = build_dense_H(m)
     states_asc = np.asarray(m.states)
-    states_k = kron_order_states(m.L, m.nup, splits)
-    assert np.array_equal(np.sort(states_k), states_asc)
-    perm = np.searchsorted(states_asc, states_k)
+    states_k = kron_order_states(m.L, m.nup, splits, pads)
+    valid = states_k != PAD_SENTINEL
+    assert np.array_equal(np.sort(states_k[valid]), states_asc)
+    perm = np.searchsorted(states_asc, states_k[valid])
     layout = make_sector_kron_layout(
         (m.L, m.nup, m.hop_sites, tuple(np.asarray(m.hop_J, np.float64).tolist())),
-        splits,
+        splits, pads,
     )
-    assert layout.n_states == m.n_states
+    assert layout.n_states == states_k.shape[0]
+    assert layout.n_basis == m.n_states
     psi = rng.normal(size=m.n_states)
-    want = (H @ psi)[perm]
+    psi_pad = np.zeros(layout.n_states)
+    psi_pad[valid] = psi[perm]
+    diag_pad = np.zeros(layout.n_states)
+    diag_pad[valid] = np.asarray(m.diag)[perm]
+    want = np.zeros(layout.n_states)
+    want[valid] = (H @ psi)[perm]
     got = np.asarray(
-        apply_H_sector_kron(
-            jnp.asarray(psi[perm]), jnp.asarray(np.asarray(m.diag)[perm]), layout
-        )
+        apply_H_sector_kron(jnp.asarray(psi_pad), jnp.asarray(diag_pad), layout)
     )
     assert np.abs(got - want).max() < atol
+    # pad slots are an exact invariant null subspace
+    assert np.all(got[~valid] == 0.0)
 
 
 @pytest.mark.parametrize(
-    "L,nup,splits",
+    "L,nup,splits,pads",
     [
-        (8, 4, (3, 3, 2)),
-        (10, 5, (4, 3, 3)),
-        (12, 6, (5, 4, 3)),
-        (12, 3, (4, 4, 4)),
-        (9, 7, (3, 3, 3)),
+        (8, 4, (3, 3, 2), (8, 128)),
+        (10, 5, (4, 3, 3), (8, 128)),
+        (10, 5, (4, 3, 3), (1, 1)),
+        (12, 6, (5, 4, 3), (8, 128)),
+        (12, 6, (5, 4, 3), (4, 8)),
+        (12, 3, (4, 4, 4), (8, 128)),
+        (9, 7, (3, 3, 3), (2, 4)),
     ],
 )
-def test_matvec_vs_dense(L, nup, splits, rng):
+def test_matvec_vs_dense(L, nup, splits, pads, rng):
     m = xxz_chain(L, Jxy=1.0, Jz=0.55, h=rng.normal(size=L) * 0.2, nup=nup,
                   dtype=jnp.float64)
-    _oracle_check(m, splits, rng)
+    _oracle_check(m, splits, rng, pads)
 
 
 def test_long_range_bonds(rng):
@@ -77,25 +88,30 @@ def test_random_bonds_fuzz(rng):
                 bonds.add((i, j))
         hopping = [(i, j, float(rng.normal())) for (i, j) in bonds]
         m = build_model(L, nup=nup, hopping=hopping, dtype=jnp.float64)
-        _oracle_check(m, (4, 3, 3), rng)
+        _oracle_check(m, (4, 3, 3), rng, pads=(2, 4))
 
 
 def test_complex_psi(rng):
     m = xxz_chain(10, Jxy=1.0, Jz=1.0, nup=5, dtype=jnp.float64)
-    splits = (4, 3, 3)
+    splits, pads = (4, 3, 3), (2, 4)
     H = build_dense_H(m)
     states_asc = np.asarray(m.states)
-    perm = np.searchsorted(states_asc, kron_order_states(10, 5, splits))
+    states_k = kron_order_states(10, 5, splits, pads)
+    valid = states_k != PAD_SENTINEL
+    perm = np.searchsorted(states_asc, states_k[valid])
     layout = make_sector_kron_layout(
         (10, 5, m.hop_sites, tuple(np.asarray(m.hop_J, np.float64).tolist())),
-        splits,
+        splits, pads,
     )
     psi = rng.normal(size=m.n_states) + 1j * rng.normal(size=m.n_states)
-    want = (H @ psi)[perm]
+    psi_pad = np.zeros(layout.n_states, complex)
+    psi_pad[valid] = psi[perm]
+    diag_pad = np.zeros(layout.n_states)
+    diag_pad[valid] = np.asarray(m.diag)[perm]
+    want = np.zeros(layout.n_states, complex)
+    want[valid] = (H @ psi)[perm]
     got = np.asarray(
-        apply_H_sector_kron(
-            jnp.asarray(psi[perm]), jnp.asarray(np.asarray(m.diag)[perm]), layout
-        )
+        apply_H_sector_kron(jnp.asarray(psi_pad), jnp.asarray(diag_pad), layout)
     )
     assert np.abs(got - want).max() < 1e-10
 
@@ -114,18 +130,25 @@ def test_model_integration(rng):
     m_k = xxz_chain(10, Jxy=1.0, Jz=0.5, nup=5, dtype=jnp.float64,
                     layout="sector_kron")
     assert m_k.kron_splits is not None
+    assert m_k.dim == m_c.n_states  # logical dimension excludes tile padding
     # dispatch picks the kron backend and matches the compact apply (reordered)
     states_asc = np.asarray(m_c.states)
-    perm = np.searchsorted(states_asc, np.asarray(m_k.states))
+    states_k = np.asarray(m_k.states)
+    valid = states_k != PAD_SENTINEL
+    perm = np.searchsorted(states_asc, states_k[valid])
     psi = rng.normal(size=m_c.n_states)
+    psi_k = np.zeros(m_k.n_states)
+    psi_k[valid] = psi[perm]
     want = np.asarray(apply_H(jnp.asarray(psi), m_c, backend="ell"))
-    got = np.asarray(apply_H(jnp.asarray(psi[perm]), m_k))
-    assert np.allclose(got, want[perm], atol=1e-10)
+    got = np.asarray(apply_H(jnp.asarray(psi_k), m_k))
+    assert np.allclose(got[valid], want[perm], atol=1e-10)
+    assert np.all(got[~valid] == 0.0)
 
     E_c, _, _ = lanczos_groundstate(matvec_fn(m_c), m_c.n_states, lanc_m=50,
                                     dtype=jnp.float64)
     E_k, _, info = lanczos_groundstate(matvec_fn(m_k), m_k.n_states,
-                                       lanc_m=50, dtype=jnp.float64)
+                                       lanc_m=50, dtype=jnp.float64,
+                                       mask=m_k.valid_mask())
     assert E_k == pytest.approx(E_c, abs=1e-9)
     assert info["residual"] < 1e-8
 
@@ -140,10 +163,12 @@ def test_model_integration(rng):
 
 
 def test_kron_rank_roundtrip():
-    splits = (4, 3, 3)
-    states = kron_order_states(10, 5, splits)
+    splits, pads = (4, 3, 3), (8, 128)
+    states = kron_order_states(10, 5, splits, pads)
     for i in range(0, len(states), 13):
-        assert kron_rank(int(states[i]), 10, 5, splits) == i
+        if states[i] == PAD_SENTINEL:
+            continue
+        assert kron_rank(int(states[i]), 10, 5, splits, pads) == i
 
 
 def test_default_splits():
