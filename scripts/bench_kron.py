@@ -39,16 +39,13 @@ def run(L, reps, kron_only):
     N = model.n_states
     print(f"L={L} N={N:.3e} build {time.time()-t0:.1f}s "
           f"splits={model.kron_splits}", flush=True)
-    lay = make_sector_kron_layout(
-        (L, nup, model.hop_sites,
-         tuple(np.asarray(model.hop_J, np.float64).tolist())),
-        model.kron_splits)
+    lay = make_sector_kron_layout(model, model.kron_splits)
     tables = jax.tree_util.tree_map(jnp.asarray, sector_kron_tables(lay))
 
-    @partial(jax.jit, static_argnums=(3,))
-    def chain(psi, diag, tables, rep):
+    @partial(jax.jit, static_argnums=(2,))
+    def chain(psi, tables, rep):
         def body(v, _):
-            w = apply_H_sector_kron(v, diag, lay, tables)
+            w = apply_H_sector_kron(v, None, lay, tables)
             return w / jnp.linalg.norm(w), None
         v, _ = jax.lax.scan(body, psi, None, length=rep)
         return jnp.sum(v)
@@ -57,7 +54,7 @@ def run(L, reps, kron_only):
     psi = jax.random.normal(key, (N,), jnp.float32)
     psi = psi / jnp.linalg.norm(psi)
     tc = time.time()
-    dt = slope_timer(chain, psi, model.diag, tables, r0=2, r1=2 + reps)
+    dt = slope_timer(chain, psi, tables, r0=2, r1=2 + reps)
     nnz = N * (1.0 + len(model.hop_sites) / 2.0)
     print(f"  kron: {dt*1e3:8.2f} ms/apply  {nnz/dt/1e9:7.2f} Gnnz/s  "
           f"(compile+measure {time.time()-tc:.0f}s)", flush=True)

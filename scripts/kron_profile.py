@@ -39,16 +39,16 @@ def main():
         if which == "diagslice":
             # slice + flat multiply + concat, no reshape
             outs = []
-            for gi, (_, _, _, ch, cm, cl) in enumerate(lay.groups):
+            for gi, (_, _, _, ch, _, _, cm, cl) in enumerate(lay.groups):
                 o = lay.offsets[gi]
                 outs.append(psi[o : o + ch * cm * cl] * 1.000001)
             return jnp.concatenate(outs)
         G = []
-        for gi, (_, _, _, ch, cm, cl) in enumerate(lay.groups):
+        for gi, (_, _, _, ch, _, _, cm, cl) in enumerate(lay.groups):
             o = lay.offsets[gi]
             G.append(psi[o : o + ch * cm * cl].reshape(ch, cm, cl))
         outs = []
-        for gi, (k_h, k_m, k_l, ch, cm, cl) in enumerate(lay.groups):
+        for gi, (k_h, k_m, k_l, ch, _, _, cm, cl) in enumerate(lay.groups):
             acc = G[gi] * 1.000001  # stand-in for the diag elementwise pass
             if which in ("all", "lo") and k_l in tables["W"][0]:
                 acc = acc + _contract(G[gi], tables["W"][0][k_l], 0, jnp.float32)

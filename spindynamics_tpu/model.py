@@ -45,7 +45,7 @@ __all__ = ["SpinModel", "build_model", "nn_hopping", "long_range_hopping"]
         "binom",
     ],
     meta_fields=["L", "nup", "mode", "n_valid", "hop_sites", "zz_sites",
-                 "n_states_static", "lo_bits", "kron_splits"],
+                 "n_states_static", "lo_bits", "kron_splits", "kron_pads"],
 )
 @dataclasses.dataclass(frozen=True)
 class SpinModel:
@@ -94,6 +94,7 @@ class SpinModel:
     # Set for layout='sector_kron': basis ordered by (k_hi, k_mid) groups over
     # the (L1, L2, L3) bit split (see ops/sector_kron.py); lookups use kron_rank.
     kron_splits: tuple | None = None
+    kron_pads: tuple | None = None  # (sublane, lane) tile padding of the groups
 
     @property
     def n_states(self) -> int:
@@ -103,10 +104,16 @@ class SpinModel:
         return self.n_states_static
 
     def basis_states(self) -> jax.Array:
-        """The uint32 basis states; synthesized as iota for full/embedded
-        layouts that don't materialize them."""
+        """The uint32 basis states; synthesized on demand for layouts that
+        don't materialize them (iota for full/embedded; group assembly for
+        lean sector_kron builds)."""
         if self.states is not None:
             return self.states
+        if self.kron_splits is not None:
+            from .ops.sector_kron import kron_states_device
+
+            return kron_states_device(self.L, self.nup, self.kron_splits,
+                                      self.kron_pads)
         return jnp.arange(self.n_states_static, dtype=jnp.uint32)
 
     @property
@@ -149,7 +156,9 @@ class SpinModel:
 
     @property
     def dtype(self):
-        return self.diag.dtype
+        # lean sector_kron builds skip the N-sized diag (the apply uses the
+        # layout's factored diagonal); `field` always exists and is tiny
+        return self.field.dtype if self.diag is None else self.diag.dtype
 
     def hop_masks(self) -> np.ndarray:
         """uint32 XOR masks, one per hopping bond."""
@@ -297,6 +306,7 @@ def build_model(
     build_neighbor_table: bool | None = None,
     device_build: bool | None = None,
     layout: str = "compact",
+    lean: bool | None = None,
 ) -> SpinModel:
     """Create a SpinModel (ref: src/SpinModel.jl:23-38 `build_model`).
 
@@ -333,6 +343,29 @@ def build_model(
             device_build = (
                 basis_mod.sector_dimension(L, nup) >= (1 << 22)
                 and jax.default_backend() != "cpu"
+            )
+        # Lean build for very large sectors: skip materializing states/diag —
+        # the kron apply uses the layout's FACTORED diagonal and never reads
+        # either; observables synthesize states on demand (basis_states).
+        # At L=32 Sz=0 the two arrays would cost ~6 GB of the 16 GB HBM.
+        if lean is None:
+            lean = lay.n_states >= (1 << 28)
+        if lean:
+            return SpinModel(
+                L=L, nup=nup, mode="sector",
+                states=None, diag=None, field=jnp.asarray(field),
+                hop_i=jnp.asarray(hop_i), hop_j=jnp.asarray(hop_j),
+                hop_J=jnp.asarray(hop_J),
+                zz_i=jnp.asarray(zz_i), zz_j=jnp.asarray(zz_j),
+                zz_J=jnp.asarray(zz_J),
+                nbr=None,
+                binom=jnp.asarray(
+                    basis_mod.binomial_table(L, nup).astype(np.int32)),
+                hop_sites=hop_sites,
+                zz_sites=tuple(zip(zz_i.tolist(), zz_j.tolist())),
+                kron_splits=lay.splits, kron_pads=lay.pads,
+                n_states_static=lay.n_states,
+                n_valid=(lay.n_basis if lay.n_states != lay.n_basis else None),
             )
         if device_build:
             # per-group (hi, mid, lo) outer products + diagonal on device —
@@ -405,7 +438,7 @@ def build_model(
             nbr=None, binom=dev(binom.astype(np.int32)),
             hop_sites=hop_sites,
             zz_sites=tuple(zip(zz_i.tolist(), zz_j.tolist())),
-            kron_splits=lay.splits,
+            kron_splits=lay.splits, kron_pads=lay.pads,
             n_valid=(lay.n_basis if lay.n_states != lay.n_basis else None),
         )
     if layout == "sector_blocked":

@@ -62,9 +62,10 @@ def state_index(model: SpinModel, bitstring: int) -> int:
             f"state {bitstring:#x} has wrong magnetization for sector nup={model.nup}"
         )
     if model.kron_splits is not None:
-        from ..ops.sector_kron import kron_rank
+        from ..ops.sector_kron import DEFAULT_PADS, kron_rank
 
-        return kron_rank(bitstring, model.L, model.nup, model.kron_splits)
+        return kron_rank(bitstring, model.L, model.nup, model.kron_splits,
+                         model.kron_pads or DEFAULT_PADS)
     if model.lo_bits is not None:
         from ..ops.sector_blocked import blocked_rank
 

@@ -161,12 +161,10 @@ def apply_H(psi: jax.Array, model: SpinModel, backend: str | None = None) -> jax
     if backend == "sector_kron":
         from .sector_kron import apply_H_sector_kron, make_sector_kron_layout
 
-        lay = make_sector_kron_layout(
-            (model.L, model.nup, model.hop_sites,
-             tuple(np.asarray(model.hop_J, np.float64).tolist())),
-            model.kron_splits,
-        )
-        return apply_H_sector_kron(psi, model.diag, lay)
+        lay = make_sector_kron_layout(model, model.kron_splits)
+        # diag=None: the layout's factored diagonal (per-part vectors) saves
+        # an N-sized diag read per apply
+        return apply_H_sector_kron(psi, None, lay)
     raise ValueError(f"unknown backend {backend!r}")
 
 

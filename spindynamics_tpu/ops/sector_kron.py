@@ -126,6 +126,38 @@ def kron_order_states(L: int, nup: int, splits, pads=DEFAULT_PADS) -> np.ndarray
     return np.concatenate(parts)
 
 
+def kron_states_device(L: int, nup: int, splits, pads=DEFAULT_PADS) -> jax.Array:
+    """On-device uint32 states in kron order (PAD_SENTINEL in padding slots).
+
+    Used by lean models (states not materialized) for observables/masks; the
+    per-part enumerations are tiny, only the N-sized assembly runs on device."""
+    L1, L2, L3 = splits
+    pads = DEFAULT_PADS if pads is None else pads
+    groups = _group_list(L, nup, splits, pads)
+    triples = tuple(
+        (jnp.asarray(_sector_states(L3, k_h)),
+         jnp.asarray(_sector_states(L2, k_m)),
+         jnp.asarray(_sector_states(L1, k_l)))
+        for (k_h, k_m, k_l, *_r) in groups
+    )
+
+    @jax.jit
+    def build():
+        parts = []
+        for (his, mids, los), g in zip(triples, groups):
+            (_, _, _, ch, cm, cl, cmp, clp) = g
+            blk = ((his[:, None, None].astype(jnp.uint32)
+                    << np.uint32(L1 + L2))
+                   | (mids[None, :, None].astype(jnp.uint32) << np.uint32(L1))
+                   | los[None, None, :].astype(jnp.uint32))
+            blk = jnp.pad(blk, ((0, 0), (0, cmp - cm), (0, clp - cl)),
+                          constant_values=PAD_SENTINEL)
+            parts.append(blk.reshape(-1))
+        return jnp.concatenate(parts)
+
+    return build()
+
+
 def kron_rank(state: int, L: int, nup: int, splits, pads=DEFAULT_PADS) -> int:
     """Host rank of a state in the kron order (replaces the Dict idxmap)."""
     L1, L2, L3 = splits
@@ -169,7 +201,7 @@ class SectorKronLayout:
     """Static structure of the 3-way layout for one (L, nup, bonds) model."""
 
     def __init__(self, L, nup, splits, pads, groups, offsets, W, cross_meta,
-                 cross_mats):
+                 cross_mats, diag_vecs=None, diag_cross=None):
         self.L, self.nup, self.splits, self.pads = L, nup, splits, pads
         # groups: [(k_h, k_m, k_l, C_h, C_m, C_l, C_m_pad, C_l_pad)]
         self.groups = groups
@@ -177,6 +209,11 @@ class SectorKronLayout:
         self.W = W                      # [W_lo, W_mid, W_hi]: dict k -> np [Cp, Cp]
         self.cross_meta = cross_meta    # [g_dst] -> [(g_src, part_a, part_b)]
         self.cross_mats = cross_mats    # [g_dst] -> [(A np, B np)]  (J in A)
+        # factored diagonal (see sector_kron_tables): per-part [C_pad] vectors
+        # whose broadcast outer sum is the group diagonal, plus cross-part ZZ
+        # rank-1 terms. Replaces reading an N-sized diag vector every apply.
+        self.diag_vecs = diag_vecs or [{}, {}, {}]
+        self.diag_cross = diag_cross or []  # [(pa, pb, {k: J*sz_a}, {k: sz_b})]
         self._dev = None
 
     @property
@@ -201,7 +238,8 @@ def _pad_mat(M, rows, cols):
 
 
 @lru_cache(maxsize=None)
-def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads):
+def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads,
+                        field_key=(), zz_sites=(), zz_J_key=()):
     L1, L2, L3 = splits
     if L1 + L2 + L3 != L or min(L1, L2, L3) < 1:
         raise ValueError(f"bad splits {splits} for L={L}")
@@ -287,12 +325,62 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads):
                 _pad_mat(A, pdim(pa, kp[pa]), pdim(pa, kp_dst[pa])),
                 _pad_mat(B, pdim(pb, kp[pb]), pdim(pb, kp_dst[pb])),
             ))
+
+    # ---- factored diagonal -------------------------------------------------
+    # diag[h, m, l] = d_hi[rank_h] + d_mid[rank_m] + d_lo[rank_l]
+    #                 + sum_{cross zz bonds} J * sz_i[rank_a] * sz_j[rank_b]
+    # (per group; replaces an N-sized diag read with O(C_part) vectors).
+    field = np.zeros(L) if not field_key else np.asarray(field_key, np.float64)
+    zz_J = np.asarray(zz_J_key, np.float64)
+    part_ks = [sorted({g[[2, 1, 0][p]] for g in groups}) for p in range(3)]
+
+    def _sz(p, k, rel):
+        S = _sector_states(plen[p], k).astype(np.int64)
+        return ((S >> rel) & 1).astype(np.float64) - 0.5
+
+    def _padvec(v, p, k):
+        out = np.zeros(pdim(p, k))
+        out[: v.shape[0]] = v
+        return out
+
+    within_zz = {0: [], 1: [], 2: []}
+    cross_zz = []
+    for b, (si, sj) in enumerate(zz_sites):
+        i, j = min(si, sj), max(si, sj)
+        J = float(zz_J[b])
+        pa, pb = part_of(i), part_of(j)
+        if pa == pb:
+            within_zz[pa].append((i - start[pa], j - start[pa], J))
+        else:
+            cross_zz.append((pa, pb, i - start[pa], j - start[pb], J))
+
+    diag_vecs = [{}, {}, {}]
+    for p in range(3):
+        for k in part_ks[p]:
+            d = np.zeros(math.comb(plen[p], k))
+            for rel in range(plen[p]):
+                h = field[start[p] + rel]
+                if h != 0.0:
+                    d = d + h * _sz(p, k, rel)
+            for (ri, rj, J) in within_zz[p]:
+                d = d + J * _sz(p, k, ri) * _sz(p, k, rj)
+            if np.any(d):
+                diag_vecs[p][k] = _padvec(d, p, k)
+
+    diag_cross = []
+    for (pa, pb, ri, rj, J) in cross_zz:
+        va = {k: _padvec(J * _sz(pa, k, ri), pa, k) for k in part_ks[pa]}
+        vb = {k: _padvec(_sz(pb, k, rj), pb, k) for k in part_ks[pb]}
+        diag_cross.append((pa, pb, va, vb))
+
     return SectorKronLayout(L, nup, splits, pads, groups, offsets, W,
-                            cross_meta, cross_mats)
+                            cross_meta, cross_mats, diag_vecs, diag_cross)
 
 
-def make_sector_kron_layout(model_or_args, splits=None,
-                            pads=DEFAULT_PADS) -> SectorKronLayout:
+def make_sector_kron_layout(model_or_args, splits=None, pads=DEFAULT_PADS,
+                            field=None, zz_sites=(), zz_J=()) -> SectorKronLayout:
+    """Layout for a SpinModel (field/zz taken from it) or an args tuple
+    (L, nup, hop_sites, hop_J) with field/zz passed separately."""
     if isinstance(model_or_args, SpinModel):
         m = model_or_args
         if m.nup is None:
@@ -300,6 +388,9 @@ def make_sector_kron_layout(model_or_args, splits=None,
         L, nup = m.L, m.nup
         hop_sites = m.hop_sites
         hop_J = tuple(np.asarray(m.hop_J, np.float64).tolist())
+        field = tuple(np.asarray(m.field, np.float64).tolist())
+        zz_sites = m.zz_sites
+        zz_J = tuple(np.asarray(m.zz_J, np.float64).tolist())
         if splits is None:
             splits = m.kron_splits
     else:
@@ -307,8 +398,12 @@ def make_sector_kron_layout(model_or_args, splits=None,
         hop_J = tuple(hop_J)
     if splits is None:
         splits = default_kron_splits(L)
+    field_key = () if field is None else tuple(np.asarray(field, np.float64).tolist())
+    if field_key and not any(field_key):
+        field_key = ()
     return _cached_kron_layout(L, nup, tuple(splits), tuple(hop_sites), hop_J,
-                               tuple(pads))
+                               tuple(pads), field_key, tuple(zz_sites),
+                               tuple(np.asarray(zz_J, np.float64).tolist()))
 
 
 def sector_kron_tables(layout: SectorKronLayout):
@@ -320,6 +415,8 @@ def sector_kron_tables(layout: SectorKronLayout):
     return {
         "W": [dict(layout.W[p]) for p in range(3)],
         "cross": [list(mats) for mats in layout.cross_mats],
+        "dvec": [dict(layout.diag_vecs[p]) for p in range(3)],
+        "dcross": [(va, vb) for (_, _, va, vb) in layout.diag_cross],
     }
 
 
@@ -334,9 +431,25 @@ def _device_tables(layout: SectorKronLayout):
 
 
 def _contract(T, M, part, rdtype):
-    """Contract the tensor axis of `part` with M[src, dst] (M real)."""
-    eq = {0: "hml,ln->hmn", 1: "hml,mn->hnl", 2: "hml,hn->nml"}[part]
+    """Contract the `part` tensor axis of group tensor T with M[src, dst].
+
+    T is rank-3 (h, m, l) or rank-4 (h, m, q, 128) — the lane-tiled form where
+    the lo axis is split as l = q*128 (measured: big-minor-dim rank-3 reshapes
+    relayout on TPU; the (q, 128) form keeps every reshape a free bitcast).
+    M is real [C_src_pad, C_dst_pad]."""
     M = M.astype(rdtype)
+    if T.ndim == 4:
+        if part == 0:
+            qs = T.shape[2]
+            qd = M.shape[1] // 128
+            M = M.reshape(qs, 128, qd, 128)
+            eq = "hmqr,qrps->hmps"
+        elif part == 1:
+            eq = "hmqr,mn->hnqr"
+        else:
+            eq = "hmqr,hn->nmqr"
+    else:
+        eq = {0: "hml,ln->hmn", 1: "hml,mn->hnl", 2: "hml,hn->nml"}[part]
     if jnp.iscomplexobj(T):
         re = jnp.einsum(eq, T.real, M, preferred_element_type=rdtype)
         im = jnp.einsum(eq, T.imag, M, preferred_element_type=rdtype)
@@ -344,23 +457,67 @@ def _contract(T, M, part, rdtype):
     return jnp.einsum(eq, T, M, preferred_element_type=T.dtype)
 
 
-def apply_H_sector_kron(psi: jax.Array, diag: jax.Array,
+def apply_H_sector_kron(psi: jax.Array, diag: jax.Array | None,
                         layout: SectorKronLayout, tables=None) -> jax.Array:
-    """H|psi> in the kron group order. `diag` must be in the SAME order."""
+    """H|psi> in the kron group order.
+
+    diag=None uses the layout's FACTORED diagonal (per-part broadcast vectors —
+    no N-sized diag read; the fast path). An explicit `diag` array (same kron
+    order) overrides it."""
     rdtype = psi.real.dtype if jnp.iscomplexobj(psi) else psi.dtype
     dev = tables if tables is not None else _device_tables(layout)
-    G = []
-    for gi, (_, _, _, ch, _, _, cmp, clp) in enumerate(layout.groups):
+    # lane-tiled rank-4 group views when the lo pad is lane-aligned (the fast
+    # TPU path); plain rank-3 otherwise (small-pad validation layouts)
+    use4d = layout.pads[1] % 128 == 0
+
+    if use4d:
+        # one top-level [R, 128] view; group slices are row ranges and the
+        # rank-4 reshapes only split leading dims — free bitcasts on TPU
+        psi_v = psi.reshape(-1, 128)
+        diag_v = None if diag is None else diag.reshape(-1, 128)
+    else:
+        psi_v, diag_v = psi, diag
+
+    def gview(x, gi):
+        (_, _, _, ch, _, _, cmp, clp) = layout.groups[gi]
         o = layout.offsets[gi]
-        G.append(psi[o : o + ch * cmp * clp].reshape(ch, cmp, clp))
+        if use4d:
+            q = clp // 128
+            return x[o // 128 : (o + ch * cmp * clp) // 128].reshape(
+                ch, cmp, q, 128
+            )
+        return x[o : o + ch * cmp * clp].reshape(ch, cmp, clp)
+
+    def bcast(vec, part, clp):
+        """Broadcast a padded per-part [C_pad] vector over the group tensor."""
+        if part == 2:
+            return vec[:, None, None, None] if use4d else vec[:, None, None]
+        if part == 1:
+            return vec[None, :, None, None] if use4d else vec[None, :, None]
+        if use4d:
+            return vec.reshape(clp // 128, 128)[None, None, :, :]
+        return vec[None, None, :]
+
+    G = [gview(psi_v, gi) for gi in range(len(layout.groups))]
 
     outs = []
     for gi, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in enumerate(layout.groups):
-        o = layout.offsets[gi]
-        n = ch * cmp * clp
-        acc = (diag[o : o + n].astype(psi.dtype) * psi[o : o + n]).reshape(
-            ch, cmp, clp
-        )
+        if diag is not None:
+            acc = gview(diag_v, gi).astype(psi.dtype) * G[gi]
+        else:
+            kp = (k_l, k_m, k_h)
+            d = None
+            for p in range(3):
+                v = dev["dvec"][p].get(kp[p])
+                if v is not None:
+                    t = bcast(jnp.asarray(v).astype(rdtype), p, clp)
+                    d = t if d is None else d + t
+            acc = jnp.zeros_like(G[gi]) if d is None else G[gi] * d
+            for (pa, pb, _, _), (va, vb) in zip(layout.diag_cross,
+                                                dev["dcross"]):
+                sa = bcast(jnp.asarray(va[kp[pa]]).astype(rdtype), pa, clp)
+                sb = bcast(jnp.asarray(vb[kp[pb]]).astype(rdtype), pb, clp)
+                acc = acc + G[gi] * (sa * sb)
         for p, k in ((0, k_l), (1, k_m), (2, k_h)):
             if k in dev["W"][p]:
                 acc = acc + _contract(G[gi], dev["W"][p][k], p, rdtype)
@@ -378,5 +535,6 @@ def apply_H_sector_kron(psi: jax.Array, diag: jax.Array,
                 T = _contract(T, B, pb, rdtype)
                 T = _contract(T, A, pa, rdtype)
             acc = acc + T
-        outs.append(acc.reshape(-1))
-    return jnp.concatenate(outs)
+        outs.append(acc.reshape(-1, 128) if use4d else acc.reshape(-1))
+    out = jnp.concatenate(outs)
+    return out.reshape(-1) if use4d else out

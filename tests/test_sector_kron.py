@@ -46,6 +46,11 @@ def _oracle_check(m, splits, rng, pads=(8, 128), atol=1e-10):
     assert np.abs(got - want).max() < atol
     # pad slots are an exact invariant null subspace
     assert np.all(got[~valid] == 0.0)
+    # factored-diagonal path (diag=None, layout built from the model so it
+    # carries field/zz) must agree exactly
+    layout_f = make_sector_kron_layout(m, splits, pads)
+    got_f = np.asarray(apply_H_sector_kron(jnp.asarray(psi_pad), None, layout_f))
+    assert np.abs(got_f - want).max() < atol
 
 
 @pytest.mark.parametrize(
@@ -160,6 +165,30 @@ def test_model_integration(rng):
     psi_tc = chebyshev_time_evolve(psi0c, matvec_fn(m_c), 0.2, (-8, 8), cheb_n=30)
     mags_c = np.asarray(magnetization_per_site(psi_tc, m_c))
     assert np.allclose(mags_k, mags_c, atol=1e-10)
+
+
+def test_lean_build(rng):
+    """lean=True skips states/diag; synthesized states, factored diag and the
+    valid mask must reproduce the materialized model exactly."""
+    from spindynamics_tpu import apply_H, lanczos_groundstate, matvec_fn
+
+    m = xxz_chain(10, Jxy=1.0, Jz=0.5, h=rng.normal(size=10) * 0.1, nup=5,
+                  dtype=jnp.float64, layout="sector_kron")
+    ml = xxz_chain(10, Jxy=1.0, Jz=0.5, h=np.asarray(m.field), nup=5,
+                   dtype=jnp.float64, layout="sector_kron", lean=True)
+    assert ml.states is None and ml.diag is None
+    assert ml.n_states == m.n_states and ml.dim == m.dim
+    assert np.array_equal(np.asarray(ml.basis_states()), np.asarray(m.states))
+    assert np.array_equal(np.asarray(ml.valid_mask()), np.asarray(m.valid_mask()))
+    psi = rng.normal(size=m.n_states) * np.asarray(m.valid_mask())
+    got = np.asarray(apply_H(jnp.asarray(psi), ml))
+    want = np.asarray(apply_H(jnp.asarray(psi), m))
+    assert np.allclose(got, want, atol=1e-12)
+    E, _, info = lanczos_groundstate(matvec_fn(ml), ml.n_states, lanc_m=40,
+                                     dtype=jnp.float64, mask=ml.valid_mask())
+    E0, _, _ = lanczos_groundstate(matvec_fn(m), m.n_states, lanc_m=40,
+                                   dtype=jnp.float64, mask=m.valid_mask())
+    assert E == pytest.approx(E0, abs=1e-9)
 
 
 def test_kron_rank_roundtrip():
