@@ -201,14 +201,19 @@ class SectorKronLayout:
     """Static structure of the 3-way layout for one (L, nup, bonds) model."""
 
     def __init__(self, L, nup, splits, pads, groups, offsets, W, cross_meta,
-                 cross_mats, diag_vecs=None, diag_cross=None):
+                 cross_pool, diag_vecs=None, diag_cross=None):
         self.L, self.nup, self.splits, self.pads = L, nup, splits, pads
         # groups: [(k_h, k_m, k_l, C_h, C_m, C_l, C_m_pad, C_l_pad)]
         self.groups = groups
         self.offsets = offsets          # [int] per group (padded strides)
         self.W = W                      # [W_lo, W_mid, W_hi]: dict k -> np [Cp, Cp]
-        self.cross_meta = cross_meta    # [g_dst] -> [(g_src, part_a, part_b)]
-        self.cross_mats = cross_mats    # [g_dst] -> [(A np, B np)]  (J in A)
+        # cross_meta: [g_dst] -> [(g_src, part_a, part_b, a_key, b_key)];
+        # cross_pool: {key: np matrix} — one-hot factors deduped across groups
+        # (a factor depends only on (spec, k_src), not on the group pair; the
+        # per-pair copies would be ~400 MB at L=32 and the remote compiler
+        # serializes captured constants into its request)
+        self.cross_meta = cross_meta
+        self.cross_pool = cross_pool
         # factored diagonal (see sector_kron_tables): per-part [C_pad] vectors
         # whose broadcast outer sum is the group diagonal, plus cross-part ZZ
         # rank-1 terms. Replaces reading an N-sized diag vector every apply.
@@ -296,23 +301,37 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads,
             if np.any(Wk):
                 W[p][k] = _pad_mat(Wk, pdim(p, k), pdim(p, k))
 
-    # cross contributions, grouped by DESTINATION group
+    # cross contributions, grouped by DESTINATION group; factor matrices are
+    # pooled by (spec, part, k_src) — identical across the many group pairs
+    # that share a part-magnetization
     cross_meta = [[] for _ in groups]
-    cross_mats = [[] for _ in groups]
-    for (pa, pb, rel_j, d), terms in sorted(cross_specs.items()):
+    cross_pool = {}
+    for si, ((pa, pb, rel_j, d), terms) in enumerate(sorted(cross_specs.items())):
         va = 1 if d == +1 else 0
         vb = 1 - va
         for g_src, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in enumerate(groups):
             kp = [k_l, k_m, k_h]  # per-part magnetization, indexed by part
-            A = None
-            for (rel_i, J) in terms:
-                U = _flip_matrix(plen[pa], kp[pa], rel_i, va)
-                if U is not None:
-                    A = J * U if A is None else A + J * U
-            if A is None or not np.any(A):
+            a_key = (si, 0, kp[pa])
+            b_key = (si, 1, kp[pb])
+            if a_key not in cross_pool:
+                A = None
+                for (rel_i, J) in terms:
+                    U = _flip_matrix(plen[pa], kp[pa], rel_i, va)
+                    if U is not None:
+                        A = J * U if A is None else A + J * U
+                cross_pool[a_key] = (
+                    None if A is None or not np.any(A)
+                    else _pad_mat(A, pdim(pa, kp[pa]), pdim(pa, kp[pa] - d))
+                )
+            if cross_pool[a_key] is None:
                 continue
-            B = _flip_matrix(plen[pb], kp[pb], rel_j, vb)
-            if B is None:
+            if b_key not in cross_pool:
+                B = _flip_matrix(plen[pb], kp[pb], rel_j, vb)
+                cross_pool[b_key] = (
+                    None if B is None
+                    else _pad_mat(B, pdim(pb, kp[pb]), pdim(pb, kp[pb] + d))
+                )
+            if cross_pool[b_key] is None:
                 continue
             kp_dst = list(kp)
             kp_dst[pa] -= d
@@ -320,11 +339,11 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads,
             g_dst = key_index.get((kp_dst[2], kp_dst[1]))
             if g_dst is None:
                 continue
-            cross_meta[g_dst].append((g_src, pa, pb))
-            cross_mats[g_dst].append((
-                _pad_mat(A, pdim(pa, kp[pa]), pdim(pa, kp_dst[pa])),
-                _pad_mat(B, pdim(pb, kp[pb]), pdim(pb, kp_dst[pb])),
-            ))
+            cross_meta[g_dst].append((g_src, pa, pb, a_key, b_key))
+    cross_pool = {k: v for k, v in cross_pool.items() if v is not None}
+    used = {k for metas in cross_meta for (_, _, _, ak, bk) in metas
+            for k in (ak, bk)}
+    cross_pool = {k: v for k, v in cross_pool.items() if k in used}
 
     # ---- factored diagonal -------------------------------------------------
     # diag[h, m, l] = d_hi[rank_h] + d_mid[rank_m] + d_lo[rank_l]
@@ -374,7 +393,7 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads,
         diag_cross.append((pa, pb, va, vb))
 
     return SectorKronLayout(L, nup, splits, pads, groups, offsets, W,
-                            cross_meta, cross_mats, diag_vecs, diag_cross)
+                            cross_meta, cross_pool, diag_vecs, diag_cross)
 
 
 def make_sector_kron_layout(model_or_args, splits=None, pads=DEFAULT_PADS,
@@ -414,7 +433,7 @@ def sector_kron_tables(layout: SectorKronLayout):
     into its request (see ops/sector_blocked.sector_blocked_tables)."""
     return {
         "W": [dict(layout.W[p]) for p in range(3)],
-        "cross": [list(mats) for mats in layout.cross_mats],
+        "cross": dict(layout.cross_pool),
         "dvec": [dict(layout.diag_vecs[p]) for p in range(3)],
         "dcross": [(va, vb) for (_, _, va, vb) in layout.diag_cross],
     }
@@ -521,9 +540,9 @@ def apply_H_sector_kron(psi: jax.Array, diag: jax.Array | None,
         for p, k in ((0, k_l), (1, k_m), (2, k_h)):
             if k in dev["W"][p]:
                 acc = acc + _contract(G[gi], dev["W"][p][k], p, rdtype)
-        for (g_src, pa, pb), (A, B) in zip(
-            layout.cross_meta[gi], dev["cross"][gi]
-        ):
+        for (g_src, pa, pb, a_key, b_key) in layout.cross_meta[gi]:
+            A = dev["cross"][a_key]
+            B = dev["cross"][b_key]
             T = G[g_src]
             # contract the more-shrinking axis first to keep the temp small
             ra = A.shape[1] / A.shape[0]
