@@ -290,6 +290,7 @@ def lanczos_groundstate_twopass(
     so use moderate m or check the residual in the returned info."""
     v0 = _random_start(N, dtype, key, mask)
     v1, _ = _normalize_start(v0)
+    del v0, mask  # at L=32 each N-vector is ~3 GB; drop refs before the scan
     alphas, betas, active, _ = _lanczos_scan(matvec, v1, lanc_m, tol, False, False)
     m_eff = int(jnp.sum(active.astype(jnp.int32)))
     evals, evecs = tridiag_eigh(alphas, betas, m_eff)
@@ -326,8 +327,12 @@ def lanczos_groundstate_restarted(
     E0 = None
     psi = v0
     info = {}
+    del v0, mask
     for c in range(cycles):
         v1, _ = _normalize_start(psi)
+        # drop the pre-normalization vector: holding it through the scan costs
+        # a full extra N-vector of HBM (fatal at L=32, ~3 GB each)
+        psi = None
         alphas, betas, active, _ = _lanczos_scan(matvec, v1, lanc_m, tol, False, False)
         m_eff = int(jnp.sum(active.astype(jnp.int32)))
         evals, evecs = tridiag_eigh(alphas, betas, m_eff)
@@ -350,10 +355,11 @@ def lanczos_groundstate_restarted(
     return E0, psi, info
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
 def _second_pass_accumulate(matvec, v1, y, m):
     """Re-run the Lanczos recurrence (same v1 => same vectors) accumulating
-    psi = sum_j y_j v_j without storing the basis."""
+    psi = sum_j y_j v_j without storing the basis. v1 is DONATED (its buffer
+    becomes the scan carry; callers must not reuse it)."""
     dtype = v1.dtype
     rdtype = _real_dtype(dtype)
 
