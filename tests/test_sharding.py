@@ -198,3 +198,42 @@ def test_sharded_planes_trajectory(mesh):
     got = np.asarray(chebyshev_time_evolve_planes(planes_sh, m, 0.2, bounds,
                                                   cheb_n=24))
     assert np.allclose(got, want, atol=1e-6)
+
+
+def test_sharded_kron_matvec_matches(mesh):
+    """Row-sharded sector_kron flat state: GSPMD collectives on the hi-axis
+    matmuls; result == single-device kron apply bit-for-bit tolerances."""
+    from spindynamics_tpu.parallel.sharded_kron import (
+        shardable_devices, sharded_kron_matvec_fn)
+
+    m = xxz_chain(12, Jxy=1.0, Jz=0.4, nup=6, dtype=jnp.float64,
+                  layout="sector_kron")
+    rng = np.random.default_rng(7)
+    mask = np.asarray(m.valid_mask())
+    psi = jnp.asarray(rng.normal(size=m.n_states) * mask)
+    want = np.asarray(apply_H(psi, m))
+    mv, lay = sharded_kron_matvec_fn(m, mesh)
+    assert shardable_devices(lay, 8) == 8  # group tensors are 1024-aligned
+    got = np.asarray(mv(shard_state(psi, mesh)))
+    assert np.allclose(got, want, atol=1e-10), np.abs(got - want).max()
+    # pad slots stay an exact null subspace under the sharded apply too
+    assert np.all(got[~mask] == 0.0)
+
+
+def test_sharded_kron_groundstate(mesh):
+    """Full Lanczos ground state through the sharded kron matvec; energy
+    matches the compact-sector reference to 1e-9."""
+    from spindynamics_tpu import lanczos_groundstate
+    from spindynamics_tpu.parallel.sharded_kron import sharded_kron_matvec_fn
+
+    m = xxz_chain(12, Jxy=1.0, Jz=0.5, nup=6, dtype=jnp.float64,
+                  layout="sector_kron")
+    mv, _ = sharded_kron_matvec_fn(m, mesh)
+    E0, psi_gs, info = lanczos_groundstate(mv, m.n_states, lanc_m=60,
+                                           dtype=jnp.float64,
+                                           mask=m.valid_mask())
+    m_cmp = xxz_chain(12, Jxy=1.0, Jz=0.5, nup=6, dtype=jnp.float64)
+    E0_ref, _, _ = lanczos_groundstate(matvec_fn(m_cmp), m_cmp.n_states,
+                                       lanc_m=60, dtype=jnp.float64)
+    assert E0 == pytest.approx(E0_ref, abs=1e-9)
+    assert info["residual"] < 1e-6
