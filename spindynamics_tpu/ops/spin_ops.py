@@ -47,6 +47,8 @@ def apply_spin_operator(
     S^+/S^- amplitudes 1, S^x amplitude 1/2, S^y amplitudes -+ i/2)."""
     if not 0 <= site < model.L:
         raise ValueError(f"site {site} out of range [0, {model.L})")
+    if kind not in ("z", "plus", "minus", "x", "y"):
+        raise ValueError(f"unknown operator kind {kind!r}")
     rdtype = psi.real.dtype if jnp.iscomplexobj(psi) else psi.dtype
     bits = ((model.basis_states() >> np.uint32(site)) & np.uint32(1)).astype(rdtype)
 

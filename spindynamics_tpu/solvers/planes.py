@@ -33,6 +33,10 @@ __all__ = [
     "lanczos_sqw_planes",
     "sz_q_planes",
     "apply_spin_operator_planes",
+    "spin_operator_planes_fn",
+    "chebyshev_cross_moments_planes",
+    "kpm_dynamical_correlation_planes",
+    "kpm_correlation_matrix_planes",
     "typicality_correlation_function_planes",
 ]
 
@@ -415,3 +419,137 @@ def typicality_correlation_function_planes(
         re, im = _pdot(xi, a_phi)
         out[i] = float(re) + 1j * float(im)
     return out
+
+
+def spin_operator_planes_fn(site: int, kind: str):
+    """operator_X(planes, model) -> X|planes> callable, the planes analog of
+    ops.spin_ops.spin_operator_fn (ref create_spin_operator,
+    src/Hamiltonian.jl:49-115)."""
+
+    def op(planes, model):
+        return apply_spin_operator_planes(planes, model, site, kind)
+
+    return op
+
+
+def _cross_moments_planes_scan(pmvr, chi, phi, M):
+    """mu_n = Re<chi|T_n(H~)|phi> on planes (phi normalized by caller)."""
+    mu0, _ = _pdot(chi, phi)
+    v_curr = pmvr(phi)
+    mu1, _ = _pdot(chi, v_curr)
+
+    def step(carry, _):
+        v_prev, v_curr = carry
+        v_next = 2.0 * pmvr(v_curr) - v_prev
+        mu, _ = _pdot(chi, v_next)
+        return (v_curr, v_next), mu
+
+    if M > 2:
+        _, mus = jax.lax.scan(step, (phi, v_curr), None, length=M - 2)
+        return jnp.concatenate([jnp.stack([mu0, mu1]), mus])
+    return jnp.stack([mu0, mu1])[:M]
+
+
+def chebyshev_cross_moments_planes(pmvr, chi_planes, phi_planes, M: int,
+                                   normalize_phi=True):
+    """Plane-stack cross moments mu_n = Re<chi|T_n(H~)|phi> * ||phi||, matching
+    chebyshev_cross_moments (the reference stores real moments,
+    src/TimeEvolution/KPM.jl:119-163)."""
+    chi = jnp.asarray(chi_planes, jnp.float32)
+    phi = jnp.asarray(phi_planes, jnp.float32)
+    norm_phi = jnp.sqrt(_pnorm2(phi))
+    if normalize_phi:
+        phi = phi / jnp.maximum(norm_phi, jnp.finfo(jnp.float32).tiny)
+    return _cross_moments_planes_scan(pmvr, chi, phi, M) * norm_phi
+
+
+def _planes_rescaled_fn(model, a, b, backend=None):
+    pmv = planes_matvec_fn(model, backend)
+    a_inv = jnp.float32(1.0 / a)
+    bb = jnp.float32(b)
+
+    def pmvr(p):
+        return (pmv(p) - bb * p) * a_inv
+
+    return pmvr
+
+
+def kpm_dynamical_correlation_planes(
+    psi_planes, operator_A, operator_B, omega, model: SpinModel,
+    n: int = 300, a: float | None = None, b: float | None = None,
+    kernel: str = "jackson", backend: str | None = None, key=None,
+):
+    """T=0 correlation S_AB(omega) on plane stacks, zero complex dtypes (cf.
+    kpm.kpm_dynamical_correlation; ref src/TimeEvolution/KPM.jl:72-116).
+    operator_X(planes, model) -> X|planes> (see spin_operator_planes_fn)."""
+    from .chebyshev import kpm_reconstruct, rescaling_params
+    from .lanczos import estimate_energy_bounds
+    from ..ops.apply import matvec_fn
+
+    if a is None or b is None:
+        lo, hi = estimate_energy_bounds(
+            matvec_fn(model, backend), model.n_states, dtype=jnp.float32,
+            lanc_m=min(n, 80), key=key, mask=model.valid_mask(),
+        )
+        a, b = rescaling_params(lo, hi, safety=1.0)
+    psi_planes = jnp.asarray(psi_planes, jnp.float32)
+    phi = operator_B(psi_planes, model)
+    chi = operator_A(psi_planes, model)
+    pmvr = _planes_rescaled_fn(model, a, b, backend)
+    mu = chebyshev_cross_moments_planes(pmvr, chi, phi, n)
+    return kpm_reconstruct(mu, omega, a, b, kernel=kernel, doubling=False,
+                           density_2_over_a=True, clamp=None,
+                           clip_nonneg=True)
+
+
+def kpm_correlation_matrix_planes(
+    psi_planes, omega, model: SpinModel, n: int = 300,
+    opA_kind: str = "z", opB_kind: str = "z",
+    a: float | None = None, b: float | None = None,
+    kernel: str = "jackson", backend: str | None = None, key=None,
+):
+    """C[i, j, omega] for all L x L site pairs on plane stacks (cf.
+    kpm.kpm_correlation_matrix; ref src/TimeEvolution/KPM.jl:214-235).
+
+    Batched over B-sites like the complex path: one plane recurrence per
+    phi_j, real moments against all chi_i at once via [L, 2N] x [2N] matmuls
+    (Re<chi|v> = chi_re.v_re + chi_im.v_im — a single MXU contraction over the
+    flattened plane axis)."""
+    from .chebyshev import kpm_reconstruct
+    from .kpm import _default_rescaling
+
+    if a is None or b is None:
+        a, b = _default_rescaling(model, backend, key=key)
+    L = model.L
+    psi_planes = jnp.asarray(psi_planes, jnp.float32)
+    ops_A = jnp.stack([
+        apply_spin_operator_planes(psi_planes, model, i, opA_kind)
+        for i in range(L)
+    ])  # [L, 2, N]
+    ops_B = jnp.stack([
+        apply_spin_operator_planes(psi_planes, model, j, opB_kind)
+        for j in range(L)
+    ])
+    A_flat = ops_A.reshape(L, -1)  # [L, 2N]: Re<chi_i|v> = A_flat @ v_flat
+    pmvr = _planes_rescaled_fn(model, a, b, backend)
+
+    def moments_vs_all(phi):
+        norm_phi = jnp.sqrt(_pnorm2(phi))
+        phi_n = phi / jnp.maximum(norm_phi, jnp.finfo(jnp.float32).tiny)
+        mu0 = A_flat @ phi_n.reshape(-1)
+        v_curr = pmvr(phi_n)
+        mu1 = A_flat @ v_curr.reshape(-1)
+
+        def step(carry, _):
+            v_prev, v_curr = carry
+            v_next = 2.0 * pmvr(v_curr) - v_prev
+            return (v_curr, v_next), A_flat @ v_next.reshape(-1)
+
+        _, mus = jax.lax.scan(step, (phi_n, v_curr), None, length=n - 2)
+        mu = jnp.concatenate([mu0[None], mu1[None], mus], axis=0)  # [n, L]
+        return mu.T * norm_phi  # [L_A, n]
+
+    mu_all = jax.vmap(moments_vs_all)(ops_B)  # [L_B, L_A, n]
+    S = kpm_reconstruct(mu_all, omega, a, b, kernel=kernel, doubling=False,
+                        density_2_over_a=True, clamp=None, clip_nonneg=True)
+    return jnp.abs(jnp.swapaxes(S, 0, 1))  # [i=A, j=B, W] (ref abs at :232)

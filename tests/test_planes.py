@@ -157,3 +157,34 @@ def test_moments_planes_doubling(setup):
     doubled = np.asarray(chebyshev_moments_planes(m, as_planes(psi), 33, a, b,
                                                   doubling_trick=True))
     assert np.allclose(doubled, plain, atol=2e-5)
+
+
+def test_kpm_dynamical_correlation_planes_matches(setup):
+    from spindynamics_tpu import kpm_dynamical_correlation, make_spin_operator
+    from spindynamics_tpu.solvers.planes import (
+        kpm_dynamical_correlation_planes, spin_operator_planes_fn)
+
+    m, psi = setup
+    a, b = 7.0, -0.5
+    omega = np.linspace(-2.0, 2.0, 48)
+    want = np.asarray(kpm_dynamical_correlation(
+        psi, make_spin_operator(2, "z"), make_spin_operator(5, "z"),
+        omega, m, n=48, a=a, b=b))
+    got = np.asarray(kpm_dynamical_correlation_planes(
+        as_planes(psi), spin_operator_planes_fn(2, "z"),
+        spin_operator_planes_fn(5, "z"), omega, m, n=48, a=a, b=b))
+    assert np.allclose(got, want, atol=1e-4 + 2e-4 * max(want.max(), 1e-9))
+
+
+def test_kpm_correlation_matrix_planes_matches(setup):
+    from spindynamics_tpu import kpm_correlation_matrix
+    from spindynamics_tpu.solvers.planes import kpm_correlation_matrix_planes
+
+    m, psi = setup
+    a, b = 7.0, -0.5
+    omega = np.linspace(-1.0, 1.0, 12)
+    want = np.asarray(kpm_correlation_matrix(psi, omega, m, n=24, a=a, b=b))
+    got = np.asarray(kpm_correlation_matrix_planes(
+        as_planes(psi), omega, m, n=24, a=a, b=b))
+    assert got.shape == want.shape == (m.L, m.L, 12)
+    assert np.allclose(got, want, atol=1e-4 + 2e-4 * want.max())
