@@ -299,10 +299,8 @@ def lanczos_groundstate_twopass(
     y = np.zeros(lanc_m)
     y[:m_eff] = evecs[:, idx]
     psi = _second_pass_accumulate(matvec, v1, jnp.asarray(y, _real_dtype(dtype)), lanc_m)
-    psi = psi / jnp.linalg.norm(psi).astype(psi.dtype)
-    hpsi = matvec(psi)
-    residual = float(jnp.linalg.norm(hpsi - jnp.asarray(E0, psi.dtype) * psi))
-    return E0, psi, {"residual": residual, "m_eff": m_eff, "evals": evals}
+    psi, _, residual = _ritz_finalize(matvec, psi)
+    return E0, psi, {"residual": float(residual), "m_eff": m_eff, "evals": evals}
 
 
 def lanczos_groundstate_restarted(
@@ -343,16 +341,32 @@ def lanczos_groundstate_restarted(
         psi = _second_pass_accumulate(
             matvec, v1, jnp.asarray(y, _real_dtype(dtype)), lanc_m
         )
-        psi = psi / jnp.linalg.norm(psi).astype(psi.dtype)
-        hpsi = matvec(psi)
-        E0 = float(jnp.real(_inner(psi, hpsi)))
-        residual = float(jnp.linalg.norm(hpsi - jnp.asarray(E0, psi.dtype) * psi))
+        psi, E, resid = _ritz_finalize(matvec, psi)
+        E0 = float(E)
+        residual = float(resid)
         info = {"residual": residual, "m_eff": m_eff, "cycles": c + 1, "evals": evals}
         if target_residual is not None and residual < target_residual:
             break
         if m_eff < lanc_m:  # invariant subspace reached
             break
     return E0, psi, info
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _ritz_finalize(matvec, psi_unnorm):
+    """Normalize the Ritz vector and compute (psi, E = <psi|H|psi>, residual)
+    in ONE jitted program. Outside jit each eager kron/blocked apply
+    materializes every per-group temp simultaneously — at L=32 (3 GB/vector)
+    that final eager matvec alone OOMs a 16 GB chip; under jit XLA frees group
+    temps as it goes and the donated input avoids a second N-buffer."""
+    dtype = psi_unnorm.dtype
+    rdtype = _real_dtype(dtype)
+    nrm = jnp.linalg.norm(psi_unnorm)
+    psi = psi_unnorm / jnp.maximum(nrm, jnp.finfo(rdtype).tiny).astype(dtype)
+    hpsi = matvec(psi)
+    E = jnp.real(_inner(psi, hpsi))
+    resid = jnp.linalg.norm(hpsi - E.astype(dtype) * psi)
+    return psi, E, resid
 
 
 @partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))

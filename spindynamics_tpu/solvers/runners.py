@@ -28,16 +28,37 @@ __all__ = ["run_chebyshev", "run_krylov", "evolve_trajectory",
 def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
                              Ebounds=None, cheb_n: int = 30,
                              backend: str | None = None, lanc_m: int = 60,
-                             observe=magnetization_per_site):
+                             observe=magnetization_per_site,
+                             checkpoint_dir: str | None = None,
+                             checkpoint_every: int = 0,
+                             resume: bool = False):
     """Chebyshev trajectory with ZERO complex dtypes anywhere.
 
     The state lives as an f32 [2, N] real/imag plane stack between steps and
     each step runs the hand-rolled plane recurrence (solvers/planes.py). Needed
     on PJRT backends without complex support (see utils/complex_io); also a
-    fine default anywhere. Returns (planes, obs)."""
+    fine default anywhere. Returns (planes, obs).
+
+    Checkpoint/resume (the reference has none — SURVEY.md §5): with
+    `checkpoint_dir` set, the (planes, observables, step) state is persisted
+    every `checkpoint_every` steps (and at the end); `resume=True` continues a
+    previous run from the saved step — the resumed trajectory is bit-identical
+    to an uninterrupted one (same coefficients, same recurrence)."""
     import jax
 
     from .planes import chebyshev_time_evolve_planes, planes_matvec_fn
+
+    _resume_state = None
+    if resume:
+        if not checkpoint_dir:
+            raise ValueError("resume=True requires checkpoint_dir")
+        from ..utils.checkpoint import load_checkpoint
+
+        _resume_state = load_checkpoint(checkpoint_dir)
+        if Ebounds is None:
+            # reuse the saved bounds so the resumed coefficients (and hence the
+            # trajectory) are bit-identical to the uninterrupted run
+            Ebounds = tuple(_resume_state[1]["Ebounds"])
 
     mv = matvec_fn(model, backend)
     if Ebounds is None:
@@ -70,9 +91,31 @@ def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
         planes = psi0
     planes = jnp.asarray(planes, jnp.float32)
     obs = []
-    for _ in range(n_steps):
+    start = 0
+    if _resume_state is not None:
+        saved, meta, extra = _resume_state
+        planes = jnp.asarray(saved, jnp.float32)
+        start = int(meta["step"])
+        obs = [np.asarray(o) for o in extra["obs"]] if start else []
+
+    def _save(step_idx):
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            checkpoint_dir, planes,
+            meta={"step": step_idx, "dt": float(dt), "cheb_n": int(cheb_n),
+                  "Ebounds": [float(Ebounds[0]), float(Ebounds[1])]},
+            extra_arrays={"obs": np.asarray(obs) if obs
+                          else np.zeros((0,), np.float32)},
+        )
+
+    for i in range(start, n_steps):
         planes = step(planes)
         obs.append(np.asarray(obs_fn(planes)))
+        if checkpoint_dir and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            _save(i + 1)
+    if checkpoint_dir and start < n_steps:
+        _save(n_steps)
     return planes, np.asarray(obs)
 
 

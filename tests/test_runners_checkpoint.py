@@ -63,3 +63,42 @@ def test_trajectory_planes_matches_complex(model):
                                              Ebounds=bounds, cheb_n=30)
     assert planes.shape[0] == 2
     assert np.allclose(obs_p, obs_c, atol=5e-5)
+
+
+def test_trajectory_checkpoint_resume(tmp_path, model):
+    """Interrupted + resumed trajectory is bit-identical to uninterrupted
+    (checkpoint/resume — SURVEY.md §5: the reference has none)."""
+    from spindynamics_tpu.solvers.runners import evolve_trajectory_planes
+
+    psi0 = domain_wall_state(model, dtype=jnp.float32)
+    bounds = (-8.0, 8.0)
+    want_planes, want_obs = evolve_trajectory_planes(
+        model, psi0, 0.1, 8, Ebounds=bounds, cheb_n=24)
+
+    ck = str(tmp_path / "traj")
+    # "crash" after 5 of 8 steps (checkpoint lands at step 3, then the
+    # final save of the partial run at step 5)
+    evolve_trajectory_planes(model, psi0, 0.1, 5, Ebounds=bounds, cheb_n=24,
+                             checkpoint_dir=ck, checkpoint_every=3)
+    # resume to 8 steps; Ebounds intentionally omitted — restored from meta
+    got_planes, got_obs = evolve_trajectory_planes(
+        model, psi0, 0.1, 8, cheb_n=24,
+        checkpoint_dir=ck, checkpoint_every=3, resume=True)
+    assert np.array_equal(np.asarray(got_planes), np.asarray(want_planes))
+    assert got_obs.shape == want_obs.shape
+    assert np.array_equal(got_obs, want_obs)
+
+    # resuming a FINISHED run is a no-op returning the saved state
+    again_planes, again_obs = evolve_trajectory_planes(
+        model, psi0, 0.1, 8, cheb_n=24, checkpoint_dir=ck, resume=True)
+    assert np.array_equal(np.asarray(again_planes), np.asarray(want_planes))
+    assert np.array_equal(again_obs, want_obs)
+
+
+def test_trajectory_resume_requires_dir(model):
+    from spindynamics_tpu.solvers.runners import evolve_trajectory_planes
+
+    psi0 = domain_wall_state(model, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        evolve_trajectory_planes(model, psi0, 0.1, 2, Ebounds=(-8.0, 8.0),
+                                 resume=True)
