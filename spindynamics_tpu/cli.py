@@ -31,7 +31,9 @@ def _build_model(args):
         elif args.L < 24:
             layout = "embedded"  # fastest wall-clock in this range
         else:
-            layout = "sector_blocked"  # exact sector memory; L>=24 fastest too
+            # all-matmul kron layout: exact sector memory AND the benchmark
+            # winner at L>=24 (119 vs 28.5 Gnnz/s at L=28 — see bench.py)
+            layout = "sector_kron"
     h = None
     if args.field:
         h = [float(x) for x in args.field.split(",")]
@@ -51,7 +53,8 @@ def _add_common(p):
     p.add_argument("--field", type=str, default=None,
                    help="comma-separated onsite fields")
     p.add_argument("--layout",
-                   choices=["auto", "compact", "embedded", "sector_blocked"],
+                   choices=["auto", "compact", "embedded", "sector_blocked",
+                            "sector_kron"],
                    default="auto")
     p.add_argument("--f32", action="store_true", default=None)
     p.add_argument("--f64", dest="f32", action="store_false")

@@ -113,3 +113,14 @@ def structure_factor_Sq_dict(psi: jax.Array, model: SpinModel) -> dict:
     q = np.asarray(q)
     S_q = np.asarray(S_q)
     return {float(qi): float(si) for qi, si in zip(q, S_q)}
+
+
+# Every observable in this module is DIAGONAL in the Sz basis — it depends on
+# psi only through |psi|^2 (ref: src/Observables.jl computes everything from
+# abs2). The plane-based trajectory driver (solvers/runners.py) relies on this
+# to evaluate observables from an f32 |psi| reconstruction without complex
+# buffers; phase-sensitive custom observables must NOT carry this attribute.
+for _f in (magnetization_per_site, szsz_matrix, connected_correlations,
+           structure_factor_Sq, structure_factor_Sq_dict):
+    _f.diagonal_in_z = True
+del _f

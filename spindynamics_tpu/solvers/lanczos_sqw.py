@@ -17,7 +17,8 @@ from ..ops.apply import matvec_fn
 from ..ops.spin_ops import sz_q_vector
 from .lanczos import _lanczos_scan, tridiag_eigh
 
-__all__ = ["spectral_from_tridiagonal", "lanczos_sqw"]
+__all__ = ["spectral_from_tridiagonal", "spectral_from_tridiagonal_batched",
+           "lanczos_sqw"]
 
 
 def spectral_from_tridiagonal(
@@ -45,6 +46,44 @@ def spectral_from_tridiagonal(
     else:
         raise ValueError(f"unknown broadening {broaden!r}")
     return mat @ w
+
+
+def spectral_from_tridiagonal_batched(
+    alphas,
+    betas,
+    norms,
+    E0: float,
+    omega,
+    eta: float = 0.05,
+    broaden: str = "lorentz",
+):
+    """Batched broadened spectra from Q tridiagonalizations at once.
+
+    alphas [Q, m], betas [Q, m-1], norms [Q] -> S [Q, W]. No per-q m_eff
+    slicing is needed: inactive Lanczos steps emit beta=0 (solvers/lanczos.py),
+    which block-decouples the tridiagonal; eigenvectors of trailing blocks have
+    first component exactly 0 and therefore zero spectral weight. One batched
+    dense eigh replaces the reference's per-q host loop
+    (src/LanczosSqw.jl:23-42) — the matrices are tiny (m <= few hundred)."""
+    a = np.asarray(alphas, np.float64)
+    b = np.asarray(betas, np.float64)
+    Qn, m = a.shape
+    T = np.zeros((Qn, m, m))
+    ii = np.arange(m)
+    T[:, ii, ii] = a
+    T[:, ii[:-1], ii[1:]] = b
+    T[:, ii[1:], ii[:-1]] = b
+    theta, Q = np.linalg.eigh(T)  # [Q, m], [Q, m, m]
+    w = (Q[:, 0, :] ** 2) * (np.asarray(norms, np.float64)[:, None] ** 2)
+    omega = np.asarray(omega, dtype=np.float64)
+    shifted = omega[None, :, None] - (theta[:, None, :] - float(E0))  # [Q, W, m]
+    if broaden == "lorentz":
+        mat = (1.0 / np.pi) * (eta / (shifted**2 + eta**2))
+    elif broaden == "gauss":
+        mat = np.exp(-(shifted**2) / (2 * eta**2)) / (np.sqrt(2 * np.pi) * eta)
+    else:
+        raise ValueError(f"unknown broadening {broaden!r}")
+    return np.einsum("qwm,qm->qw", mat, w)
 
 
 def lanczos_sqw(
@@ -81,24 +120,8 @@ def lanczos_sqw(
     )
     alphas, betas, active = batched(phis_n)
 
-    alphas = np.asarray(alphas)
-    betas = np.asarray(betas)
-    m_effs = np.asarray(jnp.sum(active.astype(jnp.int32), axis=1))
-    norms = np.asarray(norms)
-
-    W = np.asarray(omega).shape[0]
-    Smat = np.zeros((q_arr.shape[0], W))
-    for iq in range(q_arr.shape[0]):
-        if norms[iq] == 0:
-            continue
-        Smat[iq] = spectral_from_tridiagonal(
-            alphas[iq],
-            betas[iq, : lanc_m - 1],
-            norms[iq],
-            E0,
-            omega,
-            eta=eta,
-            broaden=broaden,
-            m_eff=m_effs[iq],
-        )
-    return Smat
+    del active  # beta=0 block-decoupling makes m_eff slicing unnecessary
+    return spectral_from_tridiagonal_batched(
+        np.asarray(alphas), np.asarray(betas)[:, : lanc_m - 1],
+        np.asarray(norms), E0, omega, eta=eta, broaden=broaden,
+    )

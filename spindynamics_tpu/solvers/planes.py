@@ -326,7 +326,7 @@ def lanczos_sqw_planes(psi_planes, model: SpinModel, q_list, omega, E0,
                        lanc_m=200, eta=0.05, broaden="lorentz", backend=None):
     """Lanczos S(q, omega) on plane stacks (cf. lanczos_sqw). E0 must be given
     (computed by the caller from the real ground state)."""
-    from .lanczos_sqw import spectral_from_tridiagonal
+    from .lanczos_sqw import spectral_from_tridiagonal_batched
 
     pmv = planes_matvec_fn(model, backend)
     psi_planes = jnp.asarray(psi_planes, jnp.float32)
@@ -334,20 +334,10 @@ def lanczos_sqw_planes(psi_planes, model: SpinModel, q_list, omega, E0,
     alphas, betas, nrms = jax.vmap(
         lambda p: _lanczos_planes_scan(pmv, p, lanc_m)
     )(phis)
-    alphas = np.asarray(alphas)
-    betas = np.asarray(betas)
-    nrms = np.asarray(nrms)
-    W = np.asarray(omega).shape[0]
-    out = np.zeros((len(q_list), W))
-    for iq in range(len(q_list)):
-        if nrms[iq] <= 0:
-            continue
-        m_eff = min(int(np.sum(betas[iq, : lanc_m - 1] > 0)) + 1, lanc_m)
-        out[iq] = spectral_from_tridiagonal(
-            alphas[iq], betas[iq], float(nrms[iq]), E0, omega,
-            eta=eta, broaden=broaden, m_eff=m_eff,
-        )
-    return out
+    return spectral_from_tridiagonal_batched(
+        np.asarray(alphas), np.asarray(betas)[:, : lanc_m - 1],
+        np.asarray(nrms), E0, omega, eta=eta, broaden=broaden,
+    )
 
 
 def apply_spin_operator_planes(planes, model: SpinModel, site: int, kind: str):

@@ -29,6 +29,7 @@ def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
                              Ebounds=None, cheb_n: int = 30,
                              backend: str | None = None, lanc_m: int = 60,
                              observe=magnetization_per_site,
+                             observe_planes=None,
                              checkpoint_dir: str | None = None,
                              checkpoint_every: int = 0,
                              resume: bool = False):
@@ -72,12 +73,28 @@ def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
         return chebyshev_time_evolve_planes(planes, pmv, dt, Ebounds,
                                             cheb_n=cheb_n, coeffs=coeffs)
 
-    def observe_planes(planes):
-        # |psi|^2-type observables from planes without complex buffers
-        p2 = planes[0] ** 2 + planes[1] ** 2
-        return observe(jnp.sqrt(p2), model)  # diagonal observables use |psi| only
+    if observe_planes is not None:
+        # phase-sensitive observables: a callable taking the [2, N] plane
+        # stack (and the model) directly
+        obs_fn = jax.jit(lambda planes: observe_planes(planes, model))
+    else:
+        if not getattr(observe, "diagonal_in_z", False):
+            raise ValueError(
+                "observe must be diagonal in the Sz basis (a function of "
+                "|psi|^2 only): the plane driver evaluates it on an f32 |psi| "
+                "reconstruction, which silently drops phases for any other "
+                "observable. Built-ins in spindynamics_tpu.observables carry "
+                "`.diagonal_in_z = True`; set that attribute on a custom "
+                "diagonal observable, or pass a phase-aware "
+                "`observe_planes(planes, model)` instead."
+            )
 
-    obs_fn = jax.jit(observe_planes)
+        def _observe_diag(planes):
+            # |psi|^2-type observables from planes without complex buffers
+            p2 = planes[0] ** 2 + planes[1] ** 2
+            return observe(jnp.sqrt(p2), model)  # uses |psi| only
+
+        obs_fn = jax.jit(_observe_diag)
 
     psi0 = jnp.asarray(psi0)
     if psi0.ndim == 1:

