@@ -59,6 +59,10 @@ def _add_common(p):
     p.add_argument("--f32", action="store_true", default=None)
     p.add_argument("--f64", dest="f32", action="store_false")
     p.add_argument("--out", type=str, default=None, help="write .npz output")
+    p.add_argument("--platform", type=str, default=None,
+                   help="JAX platform override (e.g. cpu); needed because the "
+                        "ambient sitecustomize pins the TPU relay regardless "
+                        "of JAX_PLATFORMS")
 
 
 def main(argv=None):
@@ -98,6 +102,8 @@ def main(argv=None):
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.f32 is None:
         args.f32 = jax.default_backend() != "cpu"
     if not args.f32:
