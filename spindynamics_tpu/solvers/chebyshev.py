@@ -47,22 +47,37 @@ def rescaling_params(Emin: float, Emax: float, safety: float = 1.0):
     return float(a), float(b)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def _moment_scan(matvec_rescaled: Callable, phi: jax.Array, M: int, chi: jax.Array):
+def _default_compensated(dtype) -> bool:
+    # finfo of a complex dtype reports the component precision (32 for c64)
+    return jnp.finfo(dtype).bits <= 32
+
+
+def _vdot_c(x, y, compensated):
+    if compensated:
+        from ..utils.compensated import vdot2
+
+        return vdot2(x, y)
+    return jnp.vdot(x, y)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 4))
+def _moment_scan(matvec_rescaled: Callable, phi: jax.Array, M: int,
+                 chi: jax.Array, compensated: bool = False):
     """mu_n = <chi| T_n(H~) |phi> for n = 0..M-1 via the 3-term recurrence.
 
     One matvec per moment, matching ref src/KPM_Sqw.jl:76-109 /
     src/TimeEvolution/KPM.jl:119-163 (without the reference's mid-stream
     renormalization hack, SURVEY.md §2.4-5: with correctly expanded bounds the
-    iterates cannot blow up)."""
-    mu0 = jnp.vdot(chi, phi)
+    iterates cannot blow up). `compensated` uses utils/compensated.vdot2 to
+    suppress f32 moment drift at large M (tested vs x64 at M=1024)."""
+    mu0 = _vdot_c(chi, phi, compensated)
     v_curr = matvec_rescaled(phi)
-    mu1 = jnp.vdot(chi, v_curr)
+    mu1 = _vdot_c(chi, v_curr, compensated)
 
     def step(carry, _):
         v_prev, v_curr = carry
         v_next = 2.0 * matvec_rescaled(v_curr) - v_prev
-        mu = jnp.vdot(chi, v_next)
+        mu = _vdot_c(chi, v_next, compensated)
         return (v_curr, v_next), mu
 
     if M > 2:
@@ -71,7 +86,8 @@ def _moment_scan(matvec_rescaled: Callable, phi: jax.Array, M: int, chi: jax.Arr
     return jnp.stack([mu0, mu1])[:M]
 
 
-def chebyshev_moments(matvec_rescaled, phi, M: int, doubling_trick: bool = False):
+def chebyshev_moments(matvec_rescaled, phi, M: int, doubling_trick: bool = False,
+                      compensated: bool | None = None):
     """Diagonal KPM moments mu_n = <phi|T_n(H~)|phi>, real part
     (ref: src/KPM_Sqw.jl:76-109).
 
@@ -80,24 +96,26 @@ def chebyshev_moments(matvec_rescaled, phi, M: int, doubling_trick: bool = False
       mu_{2n+1} = 2 <T_{n+1} phi | T_n phi> - mu_1
     to produce M moments from ~M/2 matvecs — a standard KPM optimization the
     reference does not implement (one matvec per moment at src/KPM_Sqw.jl:92)."""
+    if compensated is None:
+        compensated = _default_compensated(phi.dtype)
     if not doubling_trick:
-        return jnp.real(_moment_scan(matvec_rescaled, phi, M, phi))
-    return _moment_scan_doubled(matvec_rescaled, phi, M)
+        return jnp.real(_moment_scan(matvec_rescaled, phi, M, phi, compensated))
+    return _moment_scan_doubled(matvec_rescaled, phi, M, compensated)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def _moment_scan_doubled(matvec_rescaled, phi, M: int):
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _moment_scan_doubled(matvec_rescaled, phi, M: int, compensated: bool = False):
     """mu_0..mu_{M-1} via the product identities (M even or odd handled)."""
     half = (M + 1) // 2  # need T_0..T_half
-    mu0 = jnp.real(jnp.vdot(phi, phi))
+    mu0 = jnp.real(_vdot_c(phi, phi, compensated))
     v_curr = matvec_rescaled(phi)
-    mu1 = jnp.real(jnp.vdot(phi, v_curr))
+    mu1 = jnp.real(_vdot_c(phi, v_curr, compensated))
 
     def step(carry, _):
         v_prev, v_curr = carry
         v_next = 2.0 * matvec_rescaled(v_curr) - v_prev
-        even = 2.0 * jnp.real(jnp.vdot(v_curr, v_curr)) - mu0  # mu_{2n}, n=idx
-        odd = 2.0 * jnp.real(jnp.vdot(v_next, v_curr)) - mu1  # mu_{2n+1}
+        even = 2.0 * jnp.real(_vdot_c(v_curr, v_curr, compensated)) - mu0
+        odd = 2.0 * jnp.real(_vdot_c(v_next, v_curr, compensated)) - mu1
         return (v_curr, v_next), (even, odd)
 
     # n = 1 .. half: produces mu_2..mu_{2*half+1}
@@ -111,14 +129,17 @@ def _moment_scan_doubled(matvec_rescaled, phi, M: int):
     return mus[:M]
 
 
-def chebyshev_cross_moments(matvec_rescaled, chi, phi, M: int, normalize_phi=True):
+def chebyshev_cross_moments(matvec_rescaled, chi, phi, M: int, normalize_phi=True,
+                            compensated: bool | None = None):
     """Cross moments mu_n = <chi| T_n(H~) |phi> * ||phi|| with phi normalized
     first, exactly as ref src/TimeEvolution/KPM.jl:119-163. Returns real parts
     (the reference stores real moments)."""
+    if compensated is None:
+        compensated = _default_compensated(phi.dtype)
     norm_phi = jnp.linalg.norm(phi)
     if normalize_phi:
         phi = phi / norm_phi.astype(phi.dtype)
-    mus = _moment_scan(matvec_rescaled, phi, M, chi)
+    mus = _moment_scan(matvec_rescaled, phi, M, chi, compensated)
     return jnp.real(mus) * jnp.real(norm_phi)
 
 

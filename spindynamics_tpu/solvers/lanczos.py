@@ -61,39 +61,102 @@ def _inner(x, y):
     return jnp.vdot(x, y)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 4, 5))
+def _inner_c(x, y, compensated):
+    if compensated:
+        from ..utils.compensated import vdot2
+
+        return vdot2(x, y)
+    return jnp.vdot(x, y)
+
+
+def _norm_c(x, compensated):
+    if compensated:
+        from ..utils.compensated import norm2
+
+        return norm2(x)
+    return jnp.linalg.norm(x)
+
+
+def _default_compensated(dtype) -> bool:
+    """Compensated dots by default in f32 (TPU has no f64; utils/compensated).
+    Under x64 validation the naive dot already has ~1e-16 headroom."""
+    return jnp.finfo(_real_dtype(dtype)).bits <= 32
+
+
+@partial(jax.jit, static_argnums=(0, 2, 4, 5, 6))
 def _lanczos_scan(
     matvec: Callable,
     v1: jax.Array,
     m: int,
     tol,
-    reorth: bool,
+    reorth,
     store_basis: bool,
+    compensated: bool = False,
 ):
     """Run m Lanczos steps from normalized v1. Returns (alphas[m], betas[m],
-    active[m], V or None). betas[j] couples step j to j+1; betas[m-1] unused."""
+    active[m], V or None). betas[j] couples step j to j+1; betas[m-1] unused.
+
+    reorth: False | True/"full" (every step, ref src/Lanczos.jl:99-106) |
+    "selective" (omega-recurrence-triggered; Simon 1984: track the worst-case
+    orthogonality estimate and re-orthogonalize against the whole stored basis
+    only when max omega > sqrt(eps) — SURVEY.md §7 hard-part-3)."""
     N = v1.shape[0]
     dtype = v1.dtype
     rdtype = _real_dtype(dtype)
     tol = jnp.asarray(tol, rdtype)
+    selective = reorth == "selective"
+    full_reorth = bool(reorth) and not selective
+    eps = jnp.finfo(rdtype).eps
+    sqrt_eps = jnp.sqrt(eps)
 
-    use_buffer = reorth  # reorth needs the basis in-carry
+    use_buffer = bool(reorth)  # reorth needs the basis in-carry
     V0 = jnp.zeros((m, N), dtype) if use_buffer else None
     if use_buffer:
         V0 = V0.at[0].set(v1)
 
+    def _project_out(V, w, j):
+        """w minus its components along V[0..j] (two MXU matmuls)."""
+        mask = (jnp.arange(m) <= j).astype(rdtype)
+        coeffs = (V.conj() @ w) * mask.astype(dtype)
+        return w - V.T @ coeffs
+
     def step(carry, j):
-        v_prev, v_curr, beta_prev, active, last_alpha, V = carry
+        (v_prev, v_curr, beta_prev, active, last_alpha, V,
+         om_prev, om_curr, a_hist, b_hist) = carry
         w = matvec(v_curr)
-        alpha = jnp.real(_inner(v_curr, w))
+        alpha = jnp.real(_inner_c(v_curr, w, compensated)).astype(rdtype)
         w = w - alpha.astype(dtype) * v_curr - beta_prev.astype(dtype) * v_prev
-        if reorth:
-            # Full reorthogonalization against all previous vectors
-            # (ref: src/Lanczos.jl:99-106) as two [m,N] matmuls on the MXU.
-            mask = (jnp.arange(m) <= j).astype(rdtype)
-            coeffs = (V.conj() @ w) * mask.astype(dtype)
-            w = w - V.T @ coeffs
-        beta = jnp.linalg.norm(w).astype(rdtype)
+        if full_reorth:
+            w = _project_out(V, w, j)
+        beta = _norm_c(w, compensated).astype(rdtype)
+
+        if selective:
+            a_hist = a_hist.at[j].set(alpha)
+            b_hist = b_hist.at[j].set(beta)
+            # omega recurrence (orthogonality loss estimate vs each v_i):
+            # beta_j * om_next[i] = b[i] om[i+1] + (a[i]-a[j]) om[i]
+            #                       + b[i-1] om[i-1] - beta_{j-1} om_prev[i]
+            idx = jnp.arange(m)
+            b_im1 = jnp.where(idx > 0, jnp.roll(b_hist, 1), 0.0)
+            om_ip1 = jnp.roll(om_curr, -1).at[m - 1].set(0.0)
+            om_im1 = jnp.roll(om_curr, 1).at[0].set(0.0)
+            raw = (b_hist * om_ip1 + (a_hist - alpha) * om_curr
+                   + b_im1 * om_im1 - beta_prev * om_prev)
+            inv_beta = jnp.where(beta > 0, 1.0 / jnp.maximum(beta, eps), 0.0)
+            noise = eps * (b_hist[0] + beta)  # O(eps ||H||) rounding floor
+            om_next = jnp.where(idx <= j, jnp.abs(raw) * inv_beta + noise, 0.0)
+            om_next = om_next.at[j].set(eps)  # vs v_j: locally orthogonal
+            need = jnp.max(om_next) > sqrt_eps
+
+            def do_reorth(args):
+                w, om_next = args
+                w2 = _project_out(V, w, j)
+                return w2, jnp.where(idx <= j, eps, 0.0)
+
+            w, om_next = jax.lax.cond(need, do_reorth, lambda a: a, (w, om_next))
+            beta = jnp.where(need, _norm_c(w, compensated).astype(rdtype), beta)
+            om_prev, om_curr = om_curr, om_next
+
         ok = jnp.logical_and(active, beta > tol)
         inv = jnp.where(beta > 0, 1.0 / jnp.maximum(beta, jnp.finfo(rdtype).tiny), 0.0)
         v_next = jnp.where(ok, (w * inv.astype(dtype)), jnp.zeros_like(w))
@@ -106,12 +169,15 @@ def _lanczos_scan(
                 lambda V: V,
                 V,
             )
-        new_carry = (v_curr, v_next, beta_out, ok, alpha_out, V)
+        new_carry = (v_curr, v_next, beta_out, ok, alpha_out, V,
+                     om_prev, om_curr, a_hist, b_hist)
         ys = (alpha_out, beta_out, active)
         if store_basis and not use_buffer:
             ys = ys + (v_curr,)
         return new_carry, ys
 
+    zm = jnp.zeros((m,), rdtype) if selective else None
+    om0 = zm if not selective else zm.at[0].set(eps)
     init = (
         jnp.zeros_like(v1),
         v1,
@@ -119,6 +185,10 @@ def _lanczos_scan(
         jnp.asarray(True),
         jnp.zeros((), rdtype),
         V0,
+        zm,   # om_prev
+        om0,  # om_curr
+        zm,   # alpha history
+        zm,   # beta history
     )
     carry, ys = jax.lax.scan(step, init, jnp.arange(m))
     alphas, betas, active = ys[:3]
@@ -142,14 +212,20 @@ def lanczos_iteration(
     v0: jax.Array,
     m: int,
     tol: float = 1e-12,
-    reorth: bool = False,
+    reorth=False,
     store_basis: bool = False,
+    compensated: bool | None = None,
 ) -> LanczosFactorization:
     """Shared Lanczos driver. v0 need not be normalized (its norm is returned,
-    mirroring ref `lanczos_tridiag`, src/Lanczos.jl:180-229)."""
+    mirroring ref `lanczos_tridiag`, src/Lanczos.jl:180-229).
+
+    reorth: False | True (full, every step) | "selective" (omega-triggered).
+    compensated: None resolves by dtype (True in f32 — utils/compensated)."""
     v1, v0_norm = _normalize_start(v0)
+    if compensated is None:
+        compensated = _default_compensated(v1.dtype)
     alphas, betas, active, V = _lanczos_scan(
-        matvec, v1, m, tol, reorth, store_basis
+        matvec, v1, m, tol, reorth, store_basis, compensated
     )
     m_eff = jnp.sum(active.astype(jnp.int32))
     return LanczosFactorization(alphas, betas, m_eff, v0_norm.real, V)
@@ -272,14 +348,23 @@ def lanczos_groundstate(
     tol: float = 1e-12,
     dtype=jnp.float32,
     key=None,
-    reorth: bool = True,
+    reorth="full",
     mask=None,
+    compensated: bool | None = None,
 ):
-    """Ground-state energy and vector with stored basis + full reorthogonalization
-    (ref: src/Lanczos.jl:78-165). Returns (E0, psi_gs, info dict with residual)."""
+    """Ground-state energy and vector with stored basis + reorthogonalization
+    (ref: src/Lanczos.jl:78-165). Returns (E0, psi_gs, info dict with residual).
+
+    reorth: "full" (every step, reference parity) | "selective" (omega-
+    triggered full sweeps — same accuracy at a fraction of the matmuls when
+    the spectrum converges slowly) | False."""
     v0 = _random_start(N, dtype, key, mask)
+    if reorth is True:
+        reorth = "full"
     fac = lanczos_iteration(
-        matvec, v0, lanc_m, tol=tol, reorth=reorth, store_basis=True
+        matvec, v0, lanc_m, tol=tol,
+        reorth=(True if reorth == "full" else reorth), store_basis=True,
+        compensated=compensated,
     )
     evals, evecs = tridiag_eigh(fac.alphas, fac.betas, fac.m_eff)
     k = int(fac.m_eff)
@@ -302,23 +387,30 @@ def lanczos_groundstate_twopass(
     dtype=jnp.float32,
     key=None,
     mask=None,
+    compensated: bool | None = None,
 ):
     """Memory-lean ground state: pass 1 computes (alpha, beta) with O(3N) memory,
     the tiny tridiagonal is solved on host, pass 2 re-runs the identical
     recurrence accumulating psi = sum_j y_j v_j. Fixes the O(N*m) memory of the
     reference (SURVEY.md §2.4-9) for large Hilbert spaces. No reorthogonalization,
     so use moderate m or check the residual in the returned info."""
+    if compensated is None:
+        compensated = _default_compensated(dtype)
     v0 = _random_start(N, dtype, key, mask)
     v1, _ = _normalize_start(v0)
     del v0, mask  # at L=32 each N-vector is ~3 GB; drop refs before the scan
-    alphas, betas, active, _ = _lanczos_scan(matvec, v1, lanc_m, tol, False, False)
+    alphas, betas, active, _ = _lanczos_scan(
+        matvec, v1, lanc_m, tol, False, False, compensated
+    )
     m_eff = int(jnp.sum(active.astype(jnp.int32)))
     evals, evecs = tridiag_eigh(alphas, betas, m_eff)
     idx = int(np.argmin(evals))
     E0 = float(evals[idx])
     y = np.zeros(lanc_m)
     y[:m_eff] = evecs[:, idx]
-    psi = _second_pass_accumulate(matvec, v1, jnp.asarray(y, _real_dtype(dtype)), lanc_m)
+    psi = _second_pass_accumulate(
+        matvec, v1, jnp.asarray(y, _real_dtype(dtype)), lanc_m, compensated
+    )
     psi, _, residual = _ritz_finalize(matvec, psi)
     return E0, psi, {"residual": float(residual), "m_eff": m_eff, "evals": evals}
 
@@ -333,6 +425,7 @@ def lanczos_groundstate_restarted(
     key=None,
     mask=None,
     target_residual: float | None = None,
+    compensated: bool | None = None,
 ):
     """Restarted two-pass ground state: O(3N) memory AND high accuracy.
 
@@ -341,6 +434,8 @@ def lanczos_groundstate_restarted(
     orthogonality loss costs the plain two-pass at large m, without the
     reference's O(N*m) stored-basis memory (SURVEY.md §2.4-9). Stops early when
     `target_residual` is reached."""
+    if compensated is None:
+        compensated = _default_compensated(dtype)
     v0 = _random_start(N, dtype, key, mask)
     E0 = None
     psi = v0
@@ -351,7 +446,9 @@ def lanczos_groundstate_restarted(
         # drop the pre-normalization vector: holding it through the scan costs
         # a full extra N-vector of HBM (fatal at L=32, ~3 GB each)
         psi = None
-        alphas, betas, active, _ = _lanczos_scan(matvec, v1, lanc_m, tol, False, False)
+        alphas, betas, active, _ = _lanczos_scan(
+            matvec, v1, lanc_m, tol, False, False, compensated
+        )
         m_eff = int(jnp.sum(active.astype(jnp.int32)))
         evals, evecs = tridiag_eigh(alphas, betas, m_eff)
         idx = int(np.argmin(evals))
@@ -359,7 +456,7 @@ def lanczos_groundstate_restarted(
         y = np.zeros(lanc_m)
         y[:m_eff] = evecs[:, idx]
         psi = _second_pass_accumulate(
-            matvec, v1, jnp.asarray(y, _real_dtype(dtype)), lanc_m
+            matvec, v1, jnp.asarray(y, _real_dtype(dtype)), lanc_m, compensated
         )
         psi, E, resid = _ritz_finalize(matvec, psi)
         E0 = float(E)
@@ -369,31 +466,99 @@ def lanczos_groundstate_restarted(
             break
         if m_eff < lanc_m:  # invariant subspace reached
             break
+        if c >= 1 and residual > 0.5 * info_prev_residual:
+            # no-reorth restarts stall once beta_1 ~ residual (rounding noise
+            # dominates the recurrence); switch to the Chebyshev filter polish
+            break
+        info_prev_residual = residual
+
+    # Chebyshev-filter polish: robust at the f32 floor where restarts stall.
+    if target_residual is not None and info.get("residual", 1.0) > target_residual:
+        evals = info["evals"]
+        width = float(evals[-1] - evals[0]) if len(evals) > 1 else 1.0
+        # gap estimate from the first GHOST-FREE Ritz value: without reorth the
+        # tridiagonal grows spurious copies of E0 (evals[1] ~ E0 + 1e-6), which
+        # would collapse the cutoff onto E0 and neuter the filter. Overshooting
+        # the true E1 is safe (the ground state, deepest below the window, is
+        # still amplified the most — convergence only slows).
+        above = [float(e) for e in evals if float(e) > E0 + 0.01 * width]
+        e1 = above[0] if above else E0 + 0.1 * width
+        lo_cut = E0 + max(0.5 * (e1 - E0), 0.005 * width)
+        hi = float(evals[-1]) + 0.05 * width
+        for _ in range(max(cycles, 4)):
+            psi = _chebyshev_filter(matvec, psi, lo_cut, hi, lanc_m)
+            psi, E, resid = _ritz_finalize(matvec, psi)
+            E0 = float(E)
+            info["residual"] = float(resid)
+            info["polished"] = info.get("polished", 0) + 1
+            if float(resid) < target_residual:
+                break
     return E0, psi, info
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-def _ritz_finalize(matvec, psi_unnorm):
+@partial(jax.jit, static_argnums=(0, 4), donate_argnums=(1,))
+def _chebyshev_filter(matvec, psi, lo_cut, hi, degree: int):
+    """Amplify spectral weight below `lo_cut` by the Chebyshev polynomial
+    T_degree of H mapped so [lo_cut, hi] -> [-1, 1] (Chebyshev-filtered
+    subspace iteration, single-vector form).
+
+    Unlike Lanczos restarts, the filter needs NO orthogonality — it is robust
+    at the f32 rounding floor, which is exactly where no-reorth restarts stall
+    (restarting from a near-converged Ritz vector makes beta_1 ~ residual and
+    the recurrence amplifies rounding noise). O(3N) memory. psi is donated."""
+    dtype = psi.dtype
+    rdtype = _real_dtype(dtype)
+    c = jnp.asarray((hi + lo_cut) / 2.0, rdtype)
+    h = jnp.asarray((hi - lo_cut) / 2.0, rdtype)
+
+    def hmap(v):
+        return (matvec(v) - c.astype(dtype) * v) / h.astype(dtype)
+
+    t_prev = psi
+    t_curr = hmap(psi)
+
+    def step(carry, _):
+        t_prev, t_curr = carry
+        t_next = 2.0 * hmap(t_curr) - t_prev
+        # per-step normalization: T_k grows like e^{k * acosh|x0|}; renormalize
+        # the PAIR by the same factor to preserve the recurrence exactly
+        nrm = jnp.linalg.norm(t_next).astype(rdtype)
+        inv = (1.0 / jnp.maximum(nrm, jnp.finfo(rdtype).tiny)).astype(dtype)
+        return (t_curr * inv, t_next * inv), None
+
+    (_, t_curr), _ = jax.lax.scan(step, (t_prev, t_curr), None,
+                                  length=max(degree - 1, 0))
+    return t_curr
+
+
+@partial(jax.jit, static_argnums=(0, 2), donate_argnums=(1,))
+def _ritz_finalize(matvec, psi_unnorm, compensated=True):
     """Normalize the Ritz vector and compute (psi, E = <psi|H|psi>, residual)
     in ONE jitted program. Outside jit each eager kron/blocked apply
     materializes every per-group temp simultaneously — at L=32 (3 GB/vector)
     that final eager matvec alone OOMs a 16 GB chip; under jit XLA frees group
-    temps as it goes and the donated input avoids a second N-buffer."""
+    temps as it goes and the donated input avoids a second N-buffer.
+
+    E uses the compensated dot by default: a naive f32 Rayleigh quotient is
+    off by ~eps*sqrt(N)*||H|| (1e-4 at N~1e4), and since the residual is
+    ||Hpsi - E psi||, that dot error IS the residual floor — measured 100x
+    above the true (x64) residual of an otherwise converged vector."""
     dtype = psi_unnorm.dtype
     rdtype = _real_dtype(dtype)
-    nrm = jnp.linalg.norm(psi_unnorm)
+    nrm = _norm_c(psi_unnorm, compensated).astype(rdtype)
     psi = psi_unnorm / jnp.maximum(nrm, jnp.finfo(rdtype).tiny).astype(dtype)
     hpsi = matvec(psi)
-    E = jnp.real(_inner(psi, hpsi))
-    resid = jnp.linalg.norm(hpsi - E.astype(dtype) * psi)
+    E = jnp.real(_inner_c(psi, hpsi, compensated)).astype(rdtype)
+    resid = _norm_c(hpsi - E.astype(dtype) * psi, compensated).astype(rdtype)
     return psi, E, resid
 
 
-@partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
-def _second_pass_accumulate(matvec, v1, y, m):
+@partial(jax.jit, static_argnums=(0, 3, 4), donate_argnums=(1,))
+def _second_pass_accumulate(matvec, v1, y, m, compensated=False):
     """Re-run the Lanczos recurrence (same v1 => same vectors) accumulating
     psi = sum_j y_j v_j without storing the basis. v1 is DONATED (its buffer
-    becomes the scan carry; callers must not reuse it)."""
+    becomes the scan carry; callers must not reuse it). `compensated` must
+    match pass 1 so the recurrence reproduces the basis BIT-IDENTICALLY."""
     dtype = v1.dtype
     rdtype = _real_dtype(dtype)
 
@@ -401,9 +566,9 @@ def _second_pass_accumulate(matvec, v1, y, m):
         v_prev, v_curr, beta_prev, acc = carry
         acc = acc + yj.astype(dtype) * v_curr
         w = matvec(v_curr)
-        alpha = jnp.real(_inner(v_curr, w))
+        alpha = jnp.real(_inner_c(v_curr, w, compensated)).astype(rdtype)
         w = w - alpha.astype(dtype) * v_curr - beta_prev.astype(dtype) * v_prev
-        beta = jnp.linalg.norm(w).astype(rdtype)
+        beta = _norm_c(w, compensated).astype(rdtype)
         inv = jnp.where(beta > 0, 1.0 / jnp.maximum(beta, jnp.finfo(rdtype).tiny), 0.0)
         v_next = w * inv.astype(dtype)
         return (v_curr, v_next, beta, acc), None

@@ -115,8 +115,10 @@ def lanczos_sqw(
     safe = jnp.maximum(norms, jnp.finfo(norms.dtype).tiny)
     phis_n = phis / safe[:, None].astype(cdtype)
 
+    compensated = jnp.finfo(cdtype).bits <= 32  # utils/compensated in f32
     batched = jax.vmap(
-        lambda v: _lanczos_scan(matvec, v, lanc_m, tol, False, False)[:3]
+        lambda v: _lanczos_scan(matvec, v, lanc_m, tol, False, False,
+                                compensated)[:3]
     )
     alphas, betas, active = batched(phis_n)
 
