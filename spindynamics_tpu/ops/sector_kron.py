@@ -88,6 +88,77 @@ def _pad_up(n, m):
     return -(-n // m) * m
 
 
+def kron_part_perms(splits) -> tuple:
+    """Per-part internal bit permutations: perm[p][rel] = internal position.
+
+    Parts 1 (mid) and 2 (hi) enumerate their sector states over ROTATED bit
+    order (physical bit 0 -> internal top, physical bit r -> internal r-1).
+    Flipping the internal TOP bit of a combinadic enumeration is a single
+    contiguous block shift (ascending order puts top-bit-0 states first), and
+    flipping the 2nd-top bit is two block shifts — so for a nearest-neighbour
+    chain every part-crossing bond's flip factor on the mid/hi axes becomes a
+    SLICE COPY on a major tensor dimension (pure bandwidth) instead of a
+    [C, C] one-hot matmul (see _as_runs / apply). The lo part keeps natural
+    order: its axis lives in lane space where sub-128 slices relayout, so its
+    factors stay matmuls regardless.
+
+    The choice is bond-independent (a function of splits alone), keeping the
+    kron state ORDER a property of (L, nup, splits, pads) — bonds touching
+    interior bits simply fail run detection and fall back to matmuls."""
+    L1, L2, L3 = splits
+
+    def rot(Lp):
+        if Lp < 2:
+            return tuple(range(Lp))
+        return tuple((r - 1) % Lp for r in range(Lp))
+
+    return (tuple(range(L1)), rot(L2), rot(L3))
+
+
+def _perm_sector_states(Lp, k, perm):
+    """Physical sub-state values in INTERNAL (permuted-bit combinadic) order."""
+    ss = _sector_states(Lp, k).astype(np.uint64)
+    if tuple(perm) == tuple(range(Lp)):
+        return ss
+    phys = np.zeros_like(ss)
+    for rel in range(Lp):
+        phys |= ((ss >> np.uint64(perm[rel])) & np.uint64(1)) << np.uint64(rel)
+    return phys
+
+
+def _as_runs(U, max_runs: int = 8):
+    """Decompose a sparse factor into contiguous block shifts.
+
+    Returns [(row0, col0, length, value), ...] covering all nonzeros of U with
+    runs of constant column-row offset and constant value, or None if more
+    than max_runs are needed (dense/irregular factor -> keep the matmul).
+    A run means out[..., col0:col0+length, ...] += value * in[..., row0:...]
+    on a major tensor axis — pure bandwidth, and under a sharded hi axis a
+    static send/recv row set (the ragged halo of SURVEY.md §2.3)."""
+    rows, cols = np.nonzero(U)
+    if rows.size == 0:
+        return []
+    vals = U[rows, cols]
+    runs = []
+    order = np.lexsort((rows, cols - rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    start = 0
+    for i in range(1, rows.size + 1):
+        boundary = (
+            i == rows.size
+            or cols[i] - rows[i] != cols[start] - rows[start]
+            or vals[i] != vals[start]
+            or rows[i] != rows[i - 1] + 1
+        )
+        if boundary:
+            runs.append((int(rows[start]), int(cols[start]),
+                         int(i - start), float(vals[start])))
+            if len(runs) > max_runs:
+                return None
+            start = i
+    return runs
+
+
 def _group_list(L, nup, splits, pads=DEFAULT_PADS):
     """Ordered [(k_h, k_m, k_l, C_h, C_m, C_l, C_m_pad, C_l_pad)] over valid
     (k_h, k_m)."""
@@ -108,14 +179,16 @@ def _group_list(L, nup, splits, pads=DEFAULT_PADS):
 
 def kron_order_states(L: int, nup: int, splits, pads=DEFAULT_PADS) -> np.ndarray:
     """uint32 states in ((k_h, k_m) group, rank_h, rank_m, rank_l) order,
-    PAD_SENTINEL in tile-padding slots."""
+    PAD_SENTINEL in tile-padding slots. Part ranks follow kron_part_perms
+    (mid/hi in rotated-bit internal order — see that docstring)."""
     L1, L2, L3 = splits
+    perms = kron_part_perms(splits)
     parts = []
     for (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in _group_list(L, nup, splits,
                                                              pads):
-        his = _sector_states(L3, k_h).astype(np.uint64)
-        mids = _sector_states(L2, k_m).astype(np.uint64)
-        los = _sector_states(L1, k_l).astype(np.uint64)
+        his = _perm_sector_states(L3, k_h, perms[2]).astype(np.uint64)
+        mids = _perm_sector_states(L2, k_m, perms[1]).astype(np.uint64)
+        los = _perm_sector_states(L1, k_l, perms[0]).astype(np.uint64)
         blk = ((his[:, None, None] << np.uint64(L1 + L2))
                | (mids[None, :, None] << np.uint64(L1))
                | los[None, None, :]).astype(np.uint32)
@@ -133,11 +206,12 @@ def kron_states_device(L: int, nup: int, splits, pads=DEFAULT_PADS) -> jax.Array
     per-part enumerations are tiny, only the N-sized assembly runs on device."""
     L1, L2, L3 = splits
     pads = DEFAULT_PADS if pads is None else pads
+    perms = kron_part_perms(splits)
     groups = _group_list(L, nup, splits, pads)
     triples = tuple(
-        (jnp.asarray(_sector_states(L3, k_h)),
-         jnp.asarray(_sector_states(L2, k_m)),
-         jnp.asarray(_sector_states(L1, k_l)))
+        (jnp.asarray(_perm_sector_states(L3, k_h, perms[2]).astype(np.uint32)),
+         jnp.asarray(_perm_sector_states(L2, k_m, perms[1]).astype(np.uint32)),
+         jnp.asarray(_perm_sector_states(L1, k_l, perms[0]).astype(np.uint32)))
         for (k_h, k_m, k_l, *_r) in groups
     )
 
@@ -161,9 +235,17 @@ def kron_states_device(L: int, nup: int, splits, pads=DEFAULT_PADS) -> jax.Array
 def kron_rank(state: int, L: int, nup: int, splits, pads=DEFAULT_PADS) -> int:
     """Host rank of a state in the kron order (replaces the Dict idxmap)."""
     L1, L2, L3 = splits
-    lo = state & ((1 << L1) - 1)
-    mid = (state >> L1) & ((1 << L2) - 1)
-    hi = state >> (L1 + L2)
+    perms = kron_part_perms(splits)
+
+    def internal(sub, Lp, perm):
+        v = 0
+        for rel in range(Lp):
+            v |= ((sub >> rel) & 1) << perm[rel]
+        return v
+
+    lo = internal(state & ((1 << L1) - 1), L1, perms[0])
+    mid = internal((state >> L1) & ((1 << L2) - 1), L2, perms[1])
+    hi = internal(state >> (L1 + L2), L3, perms[2])
     k_h = bin(hi).count("1")
     k_m = bin(mid).count("1")
     off = 0
@@ -201,7 +283,8 @@ class SectorKronLayout:
     """Static structure of the 3-way layout for one (L, nup, bonds) model."""
 
     def __init__(self, L, nup, splits, pads, groups, offsets, W, cross_meta,
-                 cross_pool, diag_vecs=None, diag_cross=None):
+                 cross_pool, diag_vecs=None, diag_cross=None,
+                 cross_runs=None, cross_shapes=None):
         self.L, self.nup, self.splits, self.pads = L, nup, splits, pads
         # groups: [(k_h, k_m, k_l, C_h, C_m, C_l, C_m_pad, C_l_pad)]
         self.groups = groups
@@ -214,6 +297,12 @@ class SectorKronLayout:
         # serializes captured constants into its request)
         self.cross_meta = cross_meta
         self.cross_pool = cross_pool
+        # cross_runs: {key: [(row0, col0, len, val)]} for factors on the
+        # mid/hi axes that are contiguous block shifts (see _as_runs); such
+        # keys are ABSENT from cross_pool — they apply as slice adds, not
+        # matmuls. cross_shapes keeps (rows, cols) for every key.
+        self.cross_runs = cross_runs or {}
+        self.cross_shapes = cross_shapes or {}
         # factored diagonal (see sector_kron_tables): per-part [C_pad] vectors
         # whose broadcast outer sum is the group diagonal, plus cross-part ZZ
         # rank-1 terms. Replaces reading an N-sized diag vector every apply.
@@ -251,24 +340,27 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads,
     hop_J = np.asarray(hop_J_key, np.float64)
     start = [0, L1, L1 + L2]
     plen = [L1, L2, L3]
+    perms = kron_part_perms(splits)  # physical rel bit -> internal position
 
     def part_of(bit):
         return 0 if bit < L1 else (1 if bit < L1 + L2 else 2)
 
     within = {0: [], 1: [], 2: []}
     # (pa, pb, rel_j, dir) -> [(rel_i, J)];  dir=+1: bit i 1->0, bit j 0->1
+    # (rel bits stored INTERNAL: translated through the part permutation)
     cross_specs = {}
     for b, (si, sj) in enumerate(hop_sites):
         i, j = min(si, sj), max(si, sj)
         J = float(hop_J[b])
         pa, pb = part_of(i), part_of(j)
         if pa == pb:
-            within[pa].append((i - start[pa], j - start[pa], J))
+            within[pa].append((perms[pa][i - start[pa]],
+                               perms[pa][j - start[pa]], J))
         else:
             for d in (+1, -1):
-                cross_specs.setdefault((pa, pb, j - start[pb], d), []).append(
-                    (i - start[pa], J)
-                )
+                cross_specs.setdefault(
+                    (pa, pb, perms[pb][j - start[pb]], d), []
+                ).append((perms[pa][i - start[pa]], J))
 
     pm, pl = pads
 
@@ -306,6 +398,7 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads,
     # that share a part-magnetization
     cross_meta = [[] for _ in groups]
     cross_pool = {}
+    key_part = {}
     for si, ((pa, pb, rel_j, d), terms) in enumerate(sorted(cross_specs.items())):
         va = 1 if d == +1 else 0
         vb = 1 - va
@@ -340,10 +433,27 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads,
             if g_dst is None:
                 continue
             cross_meta[g_dst].append((g_src, pa, pb, a_key, b_key))
+            key_part[a_key] = pa
+            key_part[b_key] = pb
     cross_pool = {k: v for k, v in cross_pool.items() if v is not None}
     used = {k for metas in cross_meta for (_, _, _, ak, bk) in metas
             for k in (ak, bk)}
     cross_pool = {k: v for k, v in cross_pool.items() if k in used}
+
+    # classify factors: mid/hi-axis factors that are contiguous block shifts
+    # (guaranteed for chain-boundary bits under kron_part_perms) apply as
+    # slice adds on a MAJOR tensor dim — pure bandwidth, zero matmul flops,
+    # and a static send/recv row set under a sharded hi axis. Lane-axis (lo)
+    # factors stay matmuls: sub-128 lane slices relayout on TPU.
+    cross_runs = {}
+    cross_shapes = {k: v.shape for k, v in cross_pool.items()}
+    for k in list(cross_pool):
+        if key_part[k] == 0:
+            continue
+        runs = _as_runs(cross_pool[k])
+        if runs is not None:
+            cross_runs[k] = runs
+            del cross_pool[k]
 
     # ---- factored diagonal -------------------------------------------------
     # diag[h, m, l] = d_hi[rank_h] + d_mid[rank_m] + d_lo[rank_l]
@@ -369,9 +479,11 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads,
         J = float(zz_J[b])
         pa, pb = part_of(i), part_of(j)
         if pa == pb:
-            within_zz[pa].append((i - start[pa], j - start[pa], J))
+            within_zz[pa].append((perms[pa][i - start[pa]],
+                                  perms[pa][j - start[pa]], J))
         else:
-            cross_zz.append((pa, pb, i - start[pa], j - start[pb], J))
+            cross_zz.append((pa, pb, perms[pa][i - start[pa]],
+                             perms[pb][j - start[pb]], J))
 
     diag_vecs = [{}, {}, {}]
     for p in range(3):
@@ -380,7 +492,7 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads,
             for rel in range(plen[p]):
                 h = field[start[p] + rel]
                 if h != 0.0:
-                    d = d + h * _sz(p, k, rel)
+                    d = d + h * _sz(p, k, perms[p][rel])
             for (ri, rj, J) in within_zz[p]:
                 d = d + J * _sz(p, k, ri) * _sz(p, k, rj)
             if np.any(d):
@@ -393,7 +505,8 @@ def _cached_kron_layout(L, nup, splits, hop_sites, hop_J_key, pads,
         diag_cross.append((pa, pb, va, vb))
 
     return SectorKronLayout(L, nup, splits, pads, groups, offsets, W,
-                            cross_meta, cross_pool, diag_vecs, diag_cross)
+                            cross_meta, cross_pool, diag_vecs, diag_cross,
+                            cross_runs, cross_shapes)
 
 
 def make_sector_kron_layout(model_or_args, splits=None, pads=DEFAULT_PADS,
@@ -425,6 +538,42 @@ def make_sector_kron_layout(model_or_args, splits=None, pads=DEFAULT_PADS,
                                tuple(np.asarray(zz_J, np.float64).tolist()))
 
 
+def kron_apply_flops(layout: SectorKronLayout) -> int:
+    """Exact matmul flop count of one apply_H_sector_kron (2*m*n*k per
+    contraction), mirroring the apply's A/B ordering decision. This is the
+    honest MXU-roofline denominator for bench.py — the r1 bench overcounted
+    the second cross contraction by using the SOURCE size instead of the
+    intermediate's (VERDICT r1)."""
+    fl = 0
+    for gi, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in enumerate(layout.groups):
+        size = ch * cmp * clp
+        for p, k in ((0, k_l), (1, k_m), (2, k_h)):
+            W = layout.W[p].get(k)
+            if W is not None:
+                fl += 2 * size * W.shape[1]
+        for (g_src, pa, pb, a_key, b_key) in layout.cross_meta[gi]:
+            (_, _, _, chs, _, _, cmps, clps) = layout.groups[g_src]
+            ssz = chs * cmps * clps
+            runs_a = layout.cross_runs.get(a_key)
+            runs_b = layout.cross_runs.get(b_key)
+            if runs_a is not None and runs_b is not None:
+                continue  # pure slice adds, no matmul flops
+            if runs_a is not None or runs_b is not None:
+                runs, pr = (runs_a, pa) if runs_a is not None else (runs_b, pb)
+                m_key = b_key if runs_a is not None else a_key
+                M = layout.cross_pool[m_key]
+                ax = chs if pr == 2 else cmps
+                for (_r0, _c0, ln, _v) in runs:
+                    fl += 2 * (ssz // ax) * ln * M.shape[1]
+                continue
+            A = layout.cross_pool[a_key]
+            B = layout.cross_pool[b_key]
+            fa = ssz * A.shape[1] * (1.0 + B.shape[1] / A.shape[0])
+            fb = ssz * B.shape[1] * (1.0 + A.shape[1] / B.shape[0])
+            fl += int(2 * min(fa, fb))
+    return fl
+
+
 def sector_kron_tables(layout: SectorKronLayout):
     """Arrays-only pytree of the layout's matrices (host numpy).
 
@@ -449,6 +598,18 @@ def _device_tables(layout: SectorKronLayout):
     return layout._dev
 
 
+import os as _os
+
+# Matmul precision for the table contractions. TPU MXU "default" TRUNCATES
+# f32 operands to bf16 (measured rel err 2.4e-3/term on v5e — enough to sink
+# ground-state residuals at L=32 below the 1e-3 bar); "high" = 3-pass bf16
+# (1.4e-5), "highest" = full f32 (1.2e-7). Since every table entry here is a
+# small exact dyadic (J, J/2, 0/1 one-hot), the operand-split passes act only
+# on psi and "high" is f32-grade for this operator family. Overridable for
+# experiments via SDTPU_KRON_PRECISION.
+KRON_PRECISION = _os.environ.get("SDTPU_KRON_PRECISION", "high")
+
+
 def _contract(T, M, part, rdtype):
     """Contract the `part` tensor axis of group tensor T with M[src, dst].
 
@@ -469,20 +630,28 @@ def _contract(T, M, part, rdtype):
             eq = "hmqr,hn->nmqr"
     else:
         eq = {0: "hml,ln->hmn", 1: "hml,mn->hnl", 2: "hml,hn->nml"}[part]
+    prec = KRON_PRECISION
     if jnp.iscomplexobj(T):
-        re = jnp.einsum(eq, T.real, M, preferred_element_type=rdtype)
-        im = jnp.einsum(eq, T.imag, M, preferred_element_type=rdtype)
+        re = jnp.einsum(eq, T.real, M, preferred_element_type=rdtype,
+                        precision=prec)
+        im = jnp.einsum(eq, T.imag, M, preferred_element_type=rdtype,
+                        precision=prec)
         return jax.lax.complex(re, im).astype(T.dtype)
-    return jnp.einsum(eq, T, M, preferred_element_type=T.dtype)
+    return jnp.einsum(eq, T, M, preferred_element_type=T.dtype,
+                      precision=prec)
 
 
 def apply_H_sector_kron(psi: jax.Array, diag: jax.Array | None,
-                        layout: SectorKronLayout, tables=None) -> jax.Array:
+                        layout: SectorKronLayout, tables=None,
+                        terms: str = "all") -> jax.Array:
     """H|psi> in the kron group order.
 
     diag=None uses the layout's FACTORED diagonal (per-part broadcast vectors —
     no N-sized diag read; the fast path). An explicit `diag` array (same kron
-    order) overrides it."""
+    order) overrides it. `terms` restricts the applied term classes
+    ("all" | comma-set of diag,lo,mid,hi,cross) — profiling hook only."""
+    want = (frozenset(("diag", "lo", "mid", "hi", "cross"))
+            if terms == "all" else frozenset(terms.split(",")))
     rdtype = psi.real.dtype if jnp.iscomplexobj(psi) else psi.dtype
     dev = tables if tables is not None else _device_tables(layout)
     # lane-tiled rank-4 group views when the lo pad is lane-aligned (the fast
@@ -521,7 +690,9 @@ def apply_H_sector_kron(psi: jax.Array, diag: jax.Array | None,
 
     outs = []
     for gi, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in enumerate(layout.groups):
-        if diag is not None:
+        if "diag" not in want:
+            acc = jnp.zeros_like(G[gi])
+        elif diag is not None:
             acc = gview(diag_v, gi).astype(psi.dtype) * G[gi]
         else:
             kp = (k_l, k_m, k_h)
@@ -537,17 +708,61 @@ def apply_H_sector_kron(psi: jax.Array, diag: jax.Array | None,
                 sa = bcast(jnp.asarray(va[kp[pa]]).astype(rdtype), pa, clp)
                 sb = bcast(jnp.asarray(vb[kp[pb]]).astype(rdtype), pb, clp)
                 acc = acc + G[gi] * (sa * sb)
+        part_names = ("lo", "mid", "hi")
         for p, k in ((0, k_l), (1, k_m), (2, k_h)):
-            if k in dev["W"][p]:
+            if part_names[p] in want and k in dev["W"][p]:
                 acc = acc + _contract(G[gi], dev["W"][p][k], p, rdtype)
-        for (g_src, pa, pb, a_key, b_key) in layout.cross_meta[gi]:
+        def _sl(T, part, r0, ln):
+            # part 2 (hi) = dim 0, part 1 (mid) = dim 1 in both rank-3/rank-4
+            # views; static MAJOR-dim slices are bandwidth-cheap on TPU
+            return T[r0:r0 + ln] if part == 2 else T[:, r0:r0 + ln]
+
+        def _addat(acc, part, c0, ln, X):
+            if part == 2:
+                return acc.at[c0:c0 + ln].add(X)
+            return acc.at[:, c0:c0 + ln].add(X)
+
+        for (g_src, pa, pb, a_key, b_key) in (layout.cross_meta[gi]
+                                              if "cross" in want else ()):
+            runs_a = layout.cross_runs.get(a_key)
+            runs_b = layout.cross_runs.get(b_key)
+            T = G[g_src]
+            if runs_a is not None and runs_b is not None:
+                # both factors are block shifts: pure slice adds, zero
+                # matmuls. Parts are necessarily {1 (mid), 2 (hi)} = dims
+                # {1, 0} (lo-axis factors are never runs).
+                for (ra0, ca0, lna, va) in runs_a:
+                    for (rb0, cb0, lnb, vb) in runs_b:
+                        X = _sl(_sl(T, pa, ra0, lna), pb, rb0, lnb)
+                        v = va * vb
+                        if v != 1.0:
+                            X = jnp.asarray(v, rdtype).astype(X.dtype) * X
+                        hi_c, hi_l = (ca0, lna) if pa == 2 else (cb0, lnb)
+                        md_c, md_l = (cb0, lnb) if pa == 2 else (ca0, lna)
+                        acc = acc.at[hi_c:hi_c + hi_l,
+                                     md_c:md_c + md_l].add(X)
+                continue
+            if runs_a is not None or runs_b is not None:
+                # one shift + one matmul: slice FIRST so the matmul runs on
+                # the shrunken rows (halves the lane-axis cross flops)
+                runs, pr = (runs_a, pa) if runs_a is not None else (runs_b, pb)
+                m_key, pm = (b_key, pb) if runs_a is not None else (a_key, pa)
+                M = dev["cross"][m_key]
+                for (r0, c0, ln, val) in runs:
+                    X = _contract(_sl(T, pr, r0, ln), M, pm, rdtype)
+                    if val != 1.0:
+                        X = jnp.asarray(val, rdtype).astype(X.dtype) * X
+                    acc = _addat(acc, pr, c0, ln, X)
+                continue
             A = dev["cross"][a_key]
             B = dev["cross"][b_key]
-            T = G[g_src]
-            # contract the more-shrinking axis first to keep the temp small
-            ra = A.shape[1] / A.shape[0]
-            rb = B.shape[1] / B.shape[0]
-            if ra <= rb:
+            # contract in the order that minimizes ACTUAL matmul flops:
+            # A-first costs 2*s*Ad + 2*(s*Ad/As)*Bd, B-first the mirror —
+            # the old smallest-intermediate rule wasted up to 30% MXU time
+            ssz = T.size
+            fa = ssz * A.shape[1] * (1.0 + B.shape[1] / A.shape[0])
+            fb = ssz * B.shape[1] * (1.0 + A.shape[1] / B.shape[0])
+            if fa <= fb:
                 T = _contract(T, A, pa, rdtype)
                 T = _contract(T, B, pb, rdtype)
             else:
