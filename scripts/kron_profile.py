@@ -43,17 +43,26 @@ def main():
           f"flops/apply={kron_apply_flops(lay):.3e}", flush=True)
     tables = jax.tree_util.tree_map(jnp.asarray, sector_kron_tables(lay))
 
+    blocks = bool(int(os.environ.get("BLOCKS", "0")))
+
     @partial(jax.jit, static_argnums=(2, 3))
     def chain(psi, tables, which, rep):
         def body(v, _):
             w = apply_H_sector_kron(v, None, lay, tables, terms=which)
+            if blocks:
+                n = jnp.sqrt(sum(jnp.vdot(b, b).real for b in w))
+                return [b / n.astype(b.dtype) for b in w], None
             return w / jnp.linalg.norm(w), None
 
         v, _ = jax.lax.scan(body, psi, None, length=rep)
-        return jnp.sum(v)
+        return (sum(jnp.sum(b) for b in v) if blocks else jnp.sum(v))
 
     psi = jax.random.normal(jax.random.PRNGKey(0), (N,), jnp.float32)
     psi = psi / jnp.linalg.norm(psi)
+    if blocks:
+        from spindynamics_tpu.ops.sector_kron import flat_to_blocks
+        psi = jax.jit(lambda p: flat_to_blocks(p, lay))(psi)
+        psi = [jax.block_until_ready(b) for b in psi]
     whichs = os.environ.get("WHICH", "diag;lo;mid;hi;cross;all").split(";")
     r0 = 2
     for which in whichs:

@@ -538,6 +538,21 @@ def make_sector_kron_layout(model_or_args, splits=None, pads=DEFAULT_PADS,
                                tuple(np.asarray(zz_J, np.float64).tolist()))
 
 
+def flat_to_blocks(psi: jax.Array, layout: SectorKronLayout) -> list:
+    """Flat kron-order vector -> per-group rank-3 tensors (one relayout each;
+    do this once at a solve boundary, not per apply)."""
+    out = []
+    for gi, (_, _, _, ch, _, _, cmp, clp) in enumerate(layout.groups):
+        o = layout.offsets[gi]
+        out.append(psi[o: o + ch * cmp * clp].reshape(ch, cmp, clp))
+    return out
+
+
+def blocks_to_flat(blocks, layout: SectorKronLayout) -> jax.Array:
+    """Inverse of flat_to_blocks."""
+    return jnp.concatenate([b.reshape(-1) for b in blocks])
+
+
 def kron_apply_flops(layout: SectorKronLayout) -> int:
     """Exact matmul flop count of one apply_H_sector_kron (2*m*n*k per
     contraction), mirroring the apply's A/B ordering decision. This is the
@@ -641,22 +656,34 @@ def _contract(T, M, part, rdtype):
                       precision=prec)
 
 
-def apply_H_sector_kron(psi: jax.Array, diag: jax.Array | None,
-                        layout: SectorKronLayout, tables=None,
-                        terms: str = "all") -> jax.Array:
+def apply_H_sector_kron(psi, diag, layout: SectorKronLayout, tables=None,
+                        terms: str = "all"):
     """H|psi> in the kron group order.
+
+    psi is either the FLAT kron-order vector (length layout.n_states; returns
+    the same) or a LIST of per-group rank-3 tensors [C_h, C_m_pad, C_l_pad]
+    (the "blocks" representation; returns a list). Blocks are the fast TPU
+    form: each group's minor-2 dims are (mult-8, mult-128) — full native
+    tiles — whereas flat-vector group views are [.., q, 128] with q = clp/128
+    (often < 8), which the TPU pads to 8 sublanes: HALF-EMPTY tiles that
+    double every HBM pass (measured: the flat view+concat floor alone is
+    22 ms at L=32 vs a 7.3 ms two-pass roofline). Use solvers/blockvec to run
+    whole solves in blocks form.
 
     diag=None uses the layout's FACTORED diagonal (per-part broadcast vectors —
     no N-sized diag read; the fast path). An explicit `diag` array (same kron
-    order) overrides it. `terms` restricts the applied term classes
+    order, flat) overrides it. `terms` restricts the applied term classes
     ("all" | comma-set of diag,lo,mid,hi,cross) — profiling hook only."""
     want = (frozenset(("diag", "lo", "mid", "hi", "cross"))
             if terms == "all" else frozenset(terms.split(",")))
-    rdtype = psi.real.dtype if jnp.iscomplexobj(psi) else psi.dtype
+    copy_only = terms == "copy"  # profiling: group views + concat, no physics
+    blocks_in = isinstance(psi, (list, tuple))
+    x0 = psi[0] if blocks_in else psi
+    rdtype = x0.real.dtype if jnp.iscomplexobj(x0) else x0.dtype
     dev = tables if tables is not None else _device_tables(layout)
     # lane-tiled rank-4 group views when the lo pad is lane-aligned (the fast
-    # TPU path); plain rank-3 otherwise (small-pad validation layouts)
-    use4d = layout.pads[1] % 128 == 0
+    # flat-path form); plain rank-3 otherwise (blocks mode, small-pad layouts)
+    use4d = (not blocks_in) and layout.pads[1] % 128 == 0
 
     if use4d:
         # one top-level [R, 128] view; group slices are row ranges and the
@@ -686,10 +713,20 @@ def apply_H_sector_kron(psi: jax.Array, diag: jax.Array | None,
             return vec.reshape(clp // 128, 128)[None, None, :, :]
         return vec[None, None, :]
 
-    G = [gview(psi_v, gi) for gi in range(len(layout.groups))]
+    if blocks_in:
+        G = list(psi)
+    else:
+        G = [gview(psi_v, gi) for gi in range(len(layout.groups))]
 
     outs = []
     for gi, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in enumerate(layout.groups):
+        if copy_only:
+            if blocks_in:
+                outs.append(G[gi] * 1.000001)
+            else:
+                outs.append((G[gi] * 1.000001).reshape(-1, 128) if use4d
+                            else (G[gi] * 1.000001).reshape(-1))
+            continue
         if "diag" not in want:
             acc = jnp.zeros_like(G[gi])
         elif diag is not None:
@@ -769,6 +806,11 @@ def apply_H_sector_kron(psi: jax.Array, diag: jax.Array | None,
                 T = _contract(T, B, pb, rdtype)
                 T = _contract(T, A, pa, rdtype)
             acc = acc + T
-        outs.append(acc.reshape(-1, 128) if use4d else acc.reshape(-1))
+        if blocks_in:
+            outs.append(acc)
+        else:
+            outs.append(acc.reshape(-1, 128) if use4d else acc.reshape(-1))
+    if blocks_in:
+        return outs
     out = jnp.concatenate(outs)
     return out.reshape(-1) if use4d else out

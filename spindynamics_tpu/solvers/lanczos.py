@@ -62,6 +62,11 @@ def _inner(x, y):
 
 
 def _inner_c(x, y, compensated):
+    from .blockvec import BlockVec
+
+    if isinstance(x, BlockVec):
+        return sum(_inner_c(a, b, compensated)
+                   for a, b in zip(x.leaves, y.leaves))
     if compensated:
         from ..utils.compensated import vdot2
 
@@ -70,6 +75,11 @@ def _inner_c(x, y, compensated):
 
 
 def _norm_c(x, compensated):
+    from .blockvec import BlockVec
+
+    if isinstance(x, BlockVec):
+        s = sum(jnp.real(_inner_c(a, a, compensated)) for a in x.leaves)
+        return jnp.sqrt(jnp.maximum(s, 0))
     if compensated:
         from ..utils.compensated import norm2
 
@@ -100,7 +110,8 @@ def _lanczos_scan(
     "selective" (omega-recurrence-triggered; Simon 1984: track the worst-case
     orthogonality estimate and re-orthogonalize against the whole stored basis
     only when max omega > sqrt(eps) — SURVEY.md §7 hard-part-3)."""
-    N = v1.shape[0]
+    from .blockvec import BlockVec, bv_zeros_like
+
     dtype = v1.dtype
     rdtype = _real_dtype(dtype)
     tol = jnp.asarray(tol, rdtype)
@@ -110,7 +121,10 @@ def _lanczos_scan(
     sqrt_eps = jnp.sqrt(eps)
 
     use_buffer = bool(reorth)  # reorth needs the basis in-carry
-    V0 = jnp.zeros((m, N), dtype) if use_buffer else None
+    if (use_buffer or store_basis) and isinstance(v1, BlockVec):
+        raise TypeError("reorth/store_basis need a flat state, not BlockVec "
+                        "(use the two-pass/restarted ground states)")
+    V0 = jnp.zeros((m, v1.shape[0]), dtype) if use_buffer else None
     if use_buffer:
         V0 = V0.at[0].set(v1)
 
@@ -159,7 +173,8 @@ def _lanczos_scan(
 
         ok = jnp.logical_and(active, beta > tol)
         inv = jnp.where(beta > 0, 1.0 / jnp.maximum(beta, jnp.finfo(rdtype).tiny), 0.0)
-        v_next = jnp.where(ok, (w * inv.astype(dtype)), jnp.zeros_like(w))
+        # scalar-where form: BlockVec-safe, identical numerics (w is finite)
+        v_next = w * jnp.where(ok, inv, 0.0).astype(rdtype)
         alpha_out = jnp.where(active, alpha, last_alpha)
         beta_out = jnp.where(ok, beta, jnp.zeros_like(beta))
         if use_buffer:
@@ -179,7 +194,7 @@ def _lanczos_scan(
     zm = jnp.zeros((m,), rdtype) if selective else None
     om0 = zm if not selective else zm.at[0].set(eps)
     init = (
-        jnp.zeros_like(v1),
+        bv_zeros_like(v1),
         v1,
         jnp.zeros((), rdtype),
         jnp.asarray(True),
@@ -200,11 +215,14 @@ def _lanczos_scan(
 
 
 def _normalize_start(v0, dtype=None):
-    v0 = jnp.asarray(v0) if not isinstance(v0, jax.Array) else v0
+    from .blockvec import BlockVec
+
+    if not isinstance(v0, (jax.Array, BlockVec)):
+        v0 = jnp.asarray(v0)
     if dtype is not None:
         v0 = v0.astype(dtype)
-    nrm = jnp.linalg.norm(v0)
-    return v0 / nrm.astype(v0.dtype), nrm
+    nrm = _norm_c(v0, False)
+    return v0 / nrm, nrm
 
 
 def lanczos_iteration(
@@ -388,6 +406,7 @@ def lanczos_groundstate_twopass(
     key=None,
     mask=None,
     compensated: bool | None = None,
+    v0=None,
 ):
     """Memory-lean ground state: pass 1 computes (alpha, beta) with O(3N) memory,
     the tiny tridiagonal is solved on host, pass 2 re-runs the identical
@@ -396,7 +415,8 @@ def lanczos_groundstate_twopass(
     so use moderate m or check the residual in the returned info."""
     if compensated is None:
         compensated = _default_compensated(dtype)
-    v0 = _random_start(N, dtype, key, mask)
+    if v0 is None:
+        v0 = _random_start(N, dtype, key, mask)
     v1, _ = _normalize_start(v0)
     del v0, mask  # at L=32 each N-vector is ~3 GB; drop refs before the scan
     alphas, betas, active, _ = _lanczos_scan(
@@ -426,6 +446,7 @@ def lanczos_groundstate_restarted(
     mask=None,
     target_residual: float | None = None,
     compensated: bool | None = None,
+    v0=None,
 ):
     """Restarted two-pass ground state: O(3N) memory AND high accuracy.
 
@@ -436,7 +457,8 @@ def lanczos_groundstate_restarted(
     `target_residual` is reached."""
     if compensated is None:
         compensated = _default_compensated(dtype)
-    v0 = _random_start(N, dtype, key, mask)
+    if v0 is None:
+        v0 = _random_start(N, dtype, key, mask)
     E0 = None
     psi = v0
     info = {}
@@ -512,7 +534,8 @@ def _chebyshev_filter(matvec, psi, lo_cut, hi, degree: int):
     h = jnp.asarray((hi - lo_cut) / 2.0, rdtype)
 
     def hmap(v):
-        return (matvec(v) - c.astype(dtype) * v) / h.astype(dtype)
+        # v * c (not c * v): BlockVec states only implement the left operators
+        return (matvec(v) - v * c) / h
 
     t_prev = psi
     t_curr = hmap(psi)
@@ -522,7 +545,7 @@ def _chebyshev_filter(matvec, psi, lo_cut, hi, degree: int):
         t_next = 2.0 * hmap(t_curr) - t_prev
         # per-step normalization: T_k grows like e^{k * acosh|x0|}; renormalize
         # the PAIR by the same factor to preserve the recurrence exactly
-        nrm = jnp.linalg.norm(t_next).astype(rdtype)
+        nrm = _norm_c(t_next, False).astype(rdtype)
         inv = (1.0 / jnp.maximum(nrm, jnp.finfo(rdtype).tiny)).astype(dtype)
         return (t_curr * inv, t_next * inv), None
 
@@ -564,7 +587,7 @@ def _second_pass_accumulate(matvec, v1, y, m, compensated=False):
 
     def step(carry, yj):
         v_prev, v_curr, beta_prev, acc = carry
-        acc = acc + yj.astype(dtype) * v_curr
+        acc = acc + v_curr * yj.astype(rdtype)
         w = matvec(v_curr)
         alpha = jnp.real(_inner_c(v_curr, w, compensated)).astype(rdtype)
         w = w - alpha.astype(dtype) * v_curr - beta_prev.astype(dtype) * v_prev
@@ -573,6 +596,8 @@ def _second_pass_accumulate(matvec, v1, y, m, compensated=False):
         v_next = w * inv.astype(dtype)
         return (v_curr, v_next, beta, acc), None
 
-    init = (jnp.zeros_like(v1), v1, jnp.zeros((), rdtype), jnp.zeros_like(v1))
+    from .blockvec import bv_zeros_like
+
+    init = (bv_zeros_like(v1), v1, jnp.zeros((), rdtype), bv_zeros_like(v1))
     carry, _ = jax.lax.scan(step, init, y)
     return carry[3]
