@@ -59,6 +59,8 @@ def bench_sector_kron(L, reps, hbm_bw, f32_tflops):
         apply_H_sector_kron, kron_apply_flops, make_sector_kron_layout,
         sector_kron_tables)
 
+    from spindynamics_tpu.solvers.blockvec import BlockVec, bv_random
+
     model = sd.xxz_chain(L, Jxy=1.0, Jz=0.5, nup=L // 2,
                          dtype=jnp.float32, layout="sector_kron")
     lay = make_sector_kron_layout(model, model.kron_splits)
@@ -66,17 +68,31 @@ def bench_sector_kron(L, reps, hbm_bw, f32_tflops):
     N_pad = lay.n_states
     nnz = lay.n_basis * (1.0 + len(model.hop_sites) / 2.0)
 
+    # BlockVec (per-group rank-3) state: full native (8,128) tiles — the flat
+    # view's q<8 sublane padding doubles every HBM pass (solvers/blockvec).
+    # Normalization every 4th apply amortizes the norm+scale passes out of
+    # the SpMV measurement (||H~|| growth over 4 steps is ~1e6, safe in f32).
     @partial(jax.jit, static_argnums=(2,))
     def chain(psi, tables, rep):
-        def body(v, _):
-            w = apply_H_sector_kron(v, None, lay, tables)
-            return w / jnp.linalg.norm(w), None
+        def body(carry, i):
+            v = carry
+            w = BlockVec(apply_H_sector_kron(v.leaves, None, lay, tables))
 
-        v, _ = jax.lax.scan(body, psi, None, length=rep)
-        return jnp.sum(v)
+            def renorm(w):
+                nrm = jnp.sqrt(sum(jnp.vdot(b, b).real for b in w.leaves))
+                return w * (1.0 / nrm).astype(jnp.float32)
 
-    psi = jax.random.normal(jax.random.PRNGKey(0), (N_pad,), jnp.float32)
-    psi = psi / jnp.linalg.norm(psi)
+            def plain(w):
+                return w * jnp.float32(1.0 / 30.0)
+
+            return jax.lax.cond(i % 4 == 3, renorm, plain, w), None
+
+        v, _ = jax.lax.scan(body, psi, jnp.arange(rep))
+        return sum(jnp.sum(b) for b in v.leaves)
+
+    psi0 = bv_random(lay, jax.random.PRNGKey(0), jnp.float32)
+    nrm0 = float(jnp.sqrt(sum(float(jnp.vdot(b, b).real) for b in psi0.leaves)))
+    psi = psi0 * (1.0 / nrm0)
     per_apply = _slope_time(chain, (psi, tables), 2, reps)
     t_light = max(2.0 * N_pad * 4 / hbm_bw, kron_apply_flops(lay) / f32_tflops)
     return {

@@ -31,6 +31,7 @@ import numpy as np
 
 __all__ = [
     "LanczosFactorization",
+    "restart_cycle",
     "lanczos_iteration",
     "lanczos_tridiag",
     "lanczos_extremal",
@@ -435,6 +436,37 @@ def lanczos_groundstate_twopass(
     return E0, psi, {"residual": float(residual), "m_eff": m_eff, "evals": evals}
 
 
+def restart_cycle(matvec, psi, lanc_m: int, tol: float = 1e-12,
+                  compensated: bool | None = None, dtype=None):
+    """ONE two-pass Lanczos restart cycle from `psi` (array or BlockVec).
+
+    Returns (E0, ritz_psi, info). Deterministic given psi — the checkpointed
+    runner (solvers/runners.lanczos_groundstate_checkpointed) resumes from a
+    saved psi and reproduces the uninterrupted trajectory bit-for-bit."""
+    if dtype is None:
+        dtype = psi.dtype
+    if compensated is None:
+        compensated = _default_compensated(dtype)
+    v1, _ = _normalize_start(psi)
+    # drop the pre-normalization vector: holding it through the scan costs
+    # a full extra N-vector of HBM (fatal at L=32, ~3 GB each)
+    del psi
+    alphas, betas, active, _ = _lanczos_scan(
+        matvec, v1, lanc_m, tol, False, False, compensated
+    )
+    m_eff = int(jnp.sum(active.astype(jnp.int32)))
+    evals, evecs = tridiag_eigh(alphas, betas, m_eff)
+    idx = int(np.argmin(evals))
+    y = np.zeros(lanc_m)
+    y[:m_eff] = evecs[:, idx]
+    psi = _second_pass_accumulate(
+        matvec, v1, jnp.asarray(y, _real_dtype(dtype)), lanc_m, compensated
+    )
+    psi, E, resid = _ritz_finalize(matvec, psi)
+    return float(E), psi, {"residual": float(resid), "m_eff": m_eff,
+                           "evals": evals}
+
+
 def lanczos_groundstate_restarted(
     matvec,
     N: int,
@@ -464,26 +496,11 @@ def lanczos_groundstate_restarted(
     info = {}
     del v0, mask
     for c in range(cycles):
-        v1, _ = _normalize_start(psi)
-        # drop the pre-normalization vector: holding it through the scan costs
-        # a full extra N-vector of HBM (fatal at L=32, ~3 GB each)
-        psi = None
-        alphas, betas, active, _ = _lanczos_scan(
-            matvec, v1, lanc_m, tol, False, False, compensated
-        )
-        m_eff = int(jnp.sum(active.astype(jnp.int32)))
-        evals, evecs = tridiag_eigh(alphas, betas, m_eff)
-        idx = int(np.argmin(evals))
-        E0 = float(evals[idx])
-        y = np.zeros(lanc_m)
-        y[:m_eff] = evecs[:, idx]
-        psi = _second_pass_accumulate(
-            matvec, v1, jnp.asarray(y, _real_dtype(dtype)), lanc_m, compensated
-        )
-        psi, E, resid = _ritz_finalize(matvec, psi)
-        E0 = float(E)
-        residual = float(resid)
-        info = {"residual": residual, "m_eff": m_eff, "cycles": c + 1, "evals": evals}
+        E0, psi, cinfo = restart_cycle(matvec, psi, lanc_m, tol=tol,
+                                       compensated=compensated, dtype=dtype)
+        residual = cinfo["residual"]
+        m_eff = cinfo["m_eff"]
+        info = dict(cinfo, cycles=c + 1)
         if target_residual is not None and residual < target_residual:
             break
         if m_eff < lanc_m:  # invariant subspace reached

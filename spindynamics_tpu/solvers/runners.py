@@ -10,6 +10,9 @@ trajectory), observables out.
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -191,3 +194,71 @@ def evolve_trajectory(model: SpinModel, psi0, dt: float, n_steps: int,
             raise ValueError(f"unknown method {method!r}")
         obs.append(np.asarray(observe(psi, model)))
     return psi, np.asarray(obs)
+
+
+def lanczos_groundstate_checkpointed(
+    matvec,
+    N: int | None,
+    checkpoint_dir: str,
+    lanc_m: int = 40,
+    cycles: int = 6,
+    tol: float = 1e-12,
+    dtype=None,
+    key=None,
+    mask=None,
+    target_residual: float | None = None,
+    v0=None,
+    sharding=None,
+    save_every: int = 1,
+):
+    """Restarted two-pass ground state with per-cycle checkpoint/resume.
+
+    Addresses SURVEY.md §5 checkpoint row for LONG solves (the reference
+    recomputes everything on every run): after each restart cycle the Ritz
+    vector + (E0, residual, cycle, alpha/beta history) are persisted via
+    utils/checkpoint (orbax for sharded states — each host writes its own
+    shards; npz fallback single-process). On start, an existing checkpoint in
+    `checkpoint_dir` is resumed; because each cycle is a deterministic
+    function of psi (solvers/lanczos.restart_cycle), a killed-and-resumed run
+    reproduces the uninterrupted trajectory BIT-FOR-BIT (tested in
+    tests/test_distributed.py). Pass `sharding` to restore the state onto a
+    mesh (e.g. parallel/sharded_kron_scaling's P(rows))."""
+    import jax.numpy as jnp
+
+    from ..utils.checkpoint import load_checkpoint, save_checkpoint
+    from .lanczos import _random_start, restart_cycle
+
+    if dtype is None:
+        dtype = jnp.float32 if v0 is None else v0.dtype
+    start_cycle = 0
+    info = {}
+    E0 = None
+    psi = None
+    meta_path = os.path.join(checkpoint_dir, "meta.json")
+    if os.path.exists(meta_path):
+        psi, meta, _extra = load_checkpoint(checkpoint_dir, sharding=sharding)
+        psi = psi.astype(dtype)
+        start_cycle = int(meta["cycle"])
+        E0 = meta.get("E0")
+        info = {"residual": meta.get("residual"), "resumed_at": start_cycle}
+        if target_residual is not None and meta.get("residual") is not None \
+                and meta["residual"] < target_residual:
+            return E0, psi, dict(info, cycles=start_cycle)
+    if psi is None:
+        psi = v0 if v0 is not None else _random_start(N, dtype, key, mask)
+        if sharding is not None:
+            psi = jax.device_put(psi, sharding)
+    for c in range(start_cycle, cycles):
+        E0, psi, cinfo = restart_cycle(matvec, psi, lanc_m, tol=tol,
+                                       dtype=dtype)
+        info = dict(cinfo, cycles=c + 1, resumed_at=start_cycle or None)
+        if (c + 1) % save_every == 0 or c + 1 == cycles:
+            save_checkpoint(
+                checkpoint_dir, psi,
+                meta={"cycle": c + 1, "E0": E0,
+                      "residual": cinfo["residual"], "lanc_m": lanc_m},
+                extra_arrays={"evals": cinfo["evals"]},
+            )
+        if target_residual is not None and cinfo["residual"] < target_residual:
+            break
+    return E0, psi, info

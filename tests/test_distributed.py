@@ -1,0 +1,103 @@
+"""Multi-host glue (parallel/distributed) + mid-solve checkpoint/resume
+(VERDICT r1 item 7). Real pods are unavailable; everything runs on the
+8-virtual-device CPU mesh from conftest."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import spindynamics_tpu as sd
+from spindynamics_tpu.parallel.distributed import (
+    initialize_distributed,
+    is_multiprocess,
+    local_shard_info,
+    mesh_from_topology,
+)
+
+
+def test_initialize_noop_single_process(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert initialize_distributed() is False  # single process: no-op
+    assert not is_multiprocess()
+
+
+def test_mesh_from_topology():
+    mesh = mesh_from_topology()
+    assert mesh.devices.size == len(jax.devices())
+    info = local_shard_info(mesh)
+    assert info["n_shards"] == len(jax.devices())
+    # single-process: this process owns every shard
+    assert info["local_shard_ids"] == list(range(len(jax.devices())))
+    assert info["process_count"] == 1
+    sub = mesh_from_topology(4)
+    assert sub.devices.size == 4
+
+
+class TestCheckpointedGroundstate:
+    def _solve(self, tmpdir, cycles, **kw):
+        from spindynamics_tpu.solvers.runners import (
+            lanczos_groundstate_checkpointed,
+        )
+
+        L = 12
+        m = sd.xxz_chain(L, Jxy=1.0, Jz=1.0, nup=L // 2, dtype=jnp.float64)
+        mv = sd.matvec_fn(m)
+        return lanczos_groundstate_checkpointed(
+            mv, m.n_states, str(tmpdir), lanc_m=20, cycles=cycles,
+            dtype=jnp.float64, key=jax.random.PRNGKey(7), **kw)
+
+    def test_kill_resume_bit_identical(self, tmp_path):
+        """A run killed after cycle 2 and resumed must reproduce the
+        uninterrupted trajectory BIT-FOR-BIT (each cycle is a deterministic
+        function of psi)."""
+        full_dir = tmp_path / "full"
+        part_dir = tmp_path / "part"
+        E_full, psi_full, info_full = self._solve(full_dir, cycles=4)
+        # "killed" run: stop after 2 cycles, then resume to 4
+        E_p, _, _ = self._solve(part_dir, cycles=2)
+        E_res, psi_res, info_res = self._solve(part_dir, cycles=4)
+        assert info_res.get("resumed_at") == 2
+        assert E_res == E_full  # bit-for-bit
+        np.testing.assert_array_equal(np.asarray(psi_res),
+                                      np.asarray(psi_full))
+
+    def test_sharded_checkpoint_roundtrip(self, tmp_path):
+        """Per-shard save/restore of a row-sharded state inside the runner:
+        the restored solve continues on the mesh and matches."""
+        from spindynamics_tpu.parallel.distributed import mesh_from_topology
+        from spindynamics_tpu.solvers.runners import (
+            lanczos_groundstate_checkpointed,
+        )
+
+        L = 12
+        m = sd.xxz_chain(L, Jxy=1.0, Jz=1.0, nup=L // 2, dtype=jnp.float64,
+                         layout="sector_kron")
+        mesh = mesh_from_topology(8)
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            shard_kron_state, sharded_kron_scaling_matvec_fn,
+        )
+
+        mv, lay, spec = sharded_kron_scaling_matvec_fn(m, mesh)
+        sh = NamedSharding(mesh, P("rows"))
+        rng = np.random.default_rng(3)
+        v0 = jnp.asarray(rng.standard_normal(lay.n_states))
+        v0 = jnp.where(m.valid_mask(), v0, 0.0)
+        v0s = jax.device_put(shard_kron_state(v0, spec), sh)
+
+        d = tmp_path / "sh"
+        E1, psi1, _ = lanczos_groundstate_checkpointed(
+            mv, None, str(d), lanc_m=20, cycles=2, dtype=jnp.float64,
+            v0=v0s, sharding=sh)
+        # resume on the mesh, 2 more cycles
+        E2, psi2, info = lanczos_groundstate_checkpointed(
+            mv, None, str(d), lanc_m=20, cycles=4, dtype=jnp.float64,
+            v0=v0s, sharding=sh)
+        assert info.get("resumed_at") == 2
+        assert psi2.sharding.is_equivalent_to(sh, psi2.ndim)
+        # matches the unsharded compact solve
+        mc = sd.xxz_chain(L, Jxy=1.0, Jz=1.0, nup=L // 2, dtype=jnp.float64)
+        E_ref, _, _ = sd.lanczos_groundstate(
+            sd.matvec_fn(mc), mc.n_states, lanc_m=60, dtype=jnp.float64)
+        assert E2 == pytest.approx(E_ref, abs=1e-8)
