@@ -74,9 +74,17 @@ def bench_sector_kron(L, reps, hbm_bw, f32_tflops):
     # the SpMV measurement (||H~|| growth over 4 steps is ~1e6, safe in f32).
     @partial(jax.jit, static_argnums=(2,))
     def chain(psi, tables, rep):
+        fused = os.environ.get("BENCH_FUSED", "1") == "1"
+
         def body(carry, i):
             v = carry
-            w = BlockVec(apply_H_sector_kron(v.leaves, None, lay, tables))
+            if fused:
+                from spindynamics_tpu.ops.pallas_kron import (
+                    apply_H_sector_kron_fused)
+
+                w = BlockVec(apply_H_sector_kron_fused(v.leaves, lay, tables))
+            else:
+                w = BlockVec(apply_H_sector_kron(v.leaves, None, lay, tables))
 
             def renorm(w):
                 nrm = jnp.sqrt(sum(jnp.vdot(b, b).real for b in w.leaves))

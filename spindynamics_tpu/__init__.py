@@ -92,6 +92,8 @@ from .solvers.kpm import (
 from .solvers.runners import (
     evolve_trajectory,
     evolve_trajectory_planes,
+    groundstate_kron,
+    lanczos_groundstate_checkpointed,
     run_chebyshev,
     run_krylov,
 )

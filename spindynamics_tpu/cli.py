@@ -125,15 +125,26 @@ def main(argv=None):
         # stored-basis Lanczos needs m x N memory; switch to two-pass when the
         # basis would exceed ~4 GB
         auto_twopass = model.n_states * args.lanc_m * 8 > 4e9
-        fn = (sd.lanczos_groundstate_twopass
-              if (args.twopass or auto_twopass) else sd.lanczos_groundstate)
         t0 = time.time()
-        E0, psi, gs_info = fn(mv, model.n_states, lanc_m=args.lanc_m,
-                              dtype=model.dtype, mask=model.valid_mask())
+        if model.kron_splits is not None and (args.twopass or auto_twopass):
+            # BlockVec restarted solve with the fused Pallas hi-local kernel
+            # (ops/pallas_kron) — the single-chip L>=24 fast path
+            E0, psi_bv, gs_info, lay = sd.groundstate_kron(
+                model, lanc_m=min(args.lanc_m, 40), cycles=6,
+                target_residual=1e-3 if args.f32 else 1e-10)
+            from spindynamics_tpu.ops.sector_kron import blocks_to_flat
+
+            psi = blocks_to_flat(psi_bv.leaves, lay) if args.out else None
+            gs_info.setdefault("m_eff", gs_info.get("m_eff", 0))
+        else:
+            fn = (sd.lanczos_groundstate_twopass
+                  if (args.twopass or auto_twopass) else sd.lanczos_groundstate)
+            E0, psi, gs_info = fn(mv, model.n_states, lanc_m=args.lanc_m,
+                                  dtype=model.dtype, mask=model.valid_mask())
         info.update(E0=E0, E0_per_site=E0 / model.L,
                     residual=gs_info["residual"], m_eff=gs_info["m_eff"],
                     solve_s=round(time.time() - t0, 2))
-        if args.out:
+        if args.out and psi is not None:
             np.savez(args.out, psi=np.asarray(psi), **{k: v for k, v in info.items()
                                                         if np.isscalar(v)})
     elif args.cmd == "sqw":

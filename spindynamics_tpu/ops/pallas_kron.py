@@ -1,0 +1,308 @@
+"""Pallas TPU kernel: fused sector_kron group apply (hi-local terms).
+
+The XLA blocks-mode kron apply (ops/sector_kron.py) is multi-pass: the
+diagonal, each W contraction and each cross term is its own HBM round trip
+over the group tensor (~8 logical passes; measured 106 ms at L=32 against a
+~60 ms fused bound). This kernel fuses every HI-LOCAL term of one group —
+
+    diagonal (3 precombined 2-D broadcast factors)
+  + W_lo lane-axis matmul
+  + W_mid sublane-axis matmul
+  + every lo|mid cross term (mid-axis block-shift slice x lo-axis one-hot
+    matmul; k_h unchanged, so source rows live at the same hi index)
+
+— into ONE pass: per grid step, one hi-row of the destination group (and of
+each source group) streams through VMEM, all matmuls run from VMEM, and the
+output row is written once. The hi-axis terms (W_hi einsum + mid|hi
+block-shift adds) stay in XLA — they need cross-hi-row access and are already
+near their bandwidth bound there; `apply_H_sector_kron_fused` composes both.
+
+Diagonal factorization: diag(h, m, l) = D1[m, l] + D2[h, m] + D3[h, l] —
+every onsite/ZZ term of a 3-part split touches at most two parts, so the
+group diagonal is exactly representable by three tiny 2-D tables
+(sector_kron's per-part vectors + cross-part rank-1 pairs, combined host-side
+in _fused_group_prep).
+
+Reference parity: the hot half of apply_H! (/root/reference/src/
+Hamiltonian.jl:119-184) executed at one-HBM-pass cost; the reference's
+analog is a threaded scalar loop with Dict lookups.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sector_kron import (
+    SectorKronLayout,
+    apply_H_sector_kron,
+    KRON_PRECISION,
+)
+
+__all__ = ["apply_H_sector_kron_fused", "fused_group_plans"]
+
+
+class _GroupPlan:
+    """Static per-group fusion plan (host side)."""
+
+    def __init__(self, gi, D1, D2, D3, W_lo, W_mid_T, cross, unsupported):
+        self.gi = gi
+        self.D1 = D1        # [cmp, clp] or None
+        self.D2 = D2        # [ch, cmp] or None
+        self.D3 = D3        # [ch, clp] or None
+        self.W_lo = W_lo    # [clp, clp] or None
+        self.W_mid_T = W_mid_T  # [cmp, cmp] (transposed) or None
+        # cross: [(g_src, r0, c0, ln, val, A_lo[clp_s, clp])]
+        self.cross = cross
+        # cross_meta entries the kernel cannot fuse (rare: multi-run local
+        # factor or both-matmul local term) — applied via the XLA path
+        self.unsupported = unsupported
+
+
+def fused_group_plans(layout: SectorKronLayout):
+    """Build (and cache on the layout) per-group fusion plans."""
+    if getattr(layout, "_fused_plans", None) is not None:
+        return layout._fused_plans
+    plans = []
+    for gi, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in enumerate(layout.groups):
+        kp = (k_l, k_m, k_h)
+        # ---- combined 2-D diagonal factors --------------------------------
+        d_l = layout.diag_vecs[0].get(k_l)
+        d_m = layout.diag_vecs[1].get(k_m)
+        d_h = layout.diag_vecs[2].get(k_h)
+        D1 = np.zeros((cmp, clp))
+        D2 = np.zeros((ch, cmp))
+        D3 = None
+        if d_l is not None:
+            D1 = D1 + np.asarray(d_l)[None, :]
+        if d_m is not None:
+            D1 = D1 + np.asarray(d_m)[:, None]
+        if d_h is not None:
+            D2 = D2 + np.asarray(d_h)[:, None]
+        for (pa, pb, va, vb) in layout.diag_cross:
+            a = np.asarray(va[kp[pa]])
+            b = np.asarray(vb[kp[pb]])
+            if (pa, pb) == (0, 1):
+                D1 = D1 + b[:, None] * a[None, :]
+            elif (pa, pb) == (1, 2):
+                D2 = D2 + b[:, None] * a[None, :]
+            elif (pa, pb) == (0, 2):
+                D3 = (np.zeros((ch, clp)) if D3 is None else D3)
+                D3 = D3 + b[:, None] * a[None, :]
+            else:  # pragma: no cover - parts are ordered pa < pb
+                raise AssertionError((pa, pb))
+        if not np.any(D1):
+            D1 = None
+        if not np.any(D2):
+            D2 = None
+        # ---- within-part operators ----------------------------------------
+        W_lo = layout.W[0].get(k_l)
+        W_mid = layout.W[1].get(k_m)
+        W_mid_T = None if W_mid is None else np.ascontiguousarray(W_mid.T)
+        # ---- hi-local cross terms ------------------------------------------
+        cross = []
+        unsupported = []
+        for entry in layout.cross_meta[gi]:
+            (g_src, pa, pb, a_key, b_key) = entry
+            if 2 in (pa, pb):
+                continue  # hi-axis term: stays in XLA
+            # supported pattern: single-run mid factor x lo matmul factor
+            runs_a = layout.cross_runs.get(a_key)
+            runs_b = layout.cross_runs.get(b_key)
+            runs_mid, key_lo = ((runs_a, b_key) if pa == 1
+                                else (runs_b, a_key))
+            if (runs_mid is None or len(runs_mid) != 1
+                    or key_lo in layout.cross_runs):
+                unsupported.append(entry)
+                continue
+            (r0, c0, ln, val) = runs_mid[0]
+            A = layout.cross_pool[key_lo]
+            cross.append((g_src, r0, c0, ln, float(val), A))
+        plans.append(_GroupPlan(gi, D1, D2, D3, W_lo, W_mid_T, cross,
+                                unsupported))
+    layout._fused_plans = plans
+    return plans
+
+
+def _build_group_call(shape_key, has, cross_shapes, interpret):
+    """Return a pallas_call for one group structure.
+
+    shape_key = (ch, cmp, clp); has = (D1?, D2?, D3?, W_lo?, W_mid?);
+    cross_shapes = tuple of (cmp_s, clp_s, r0, c0, ln) per fused cross term.
+    Grid: one hi row per step (blocks [1, cmp, clp] — full native tiles);
+    inputs ordered [T_own, T_src..., D1?, D2?, D3?, W_lo?, W_mid_T?, A...]."""
+    ch, cmp, clp = shape_key
+    hD1, hD2, hD3, hWlo, hWmid = has
+    n_cross = len(cross_shapes)
+
+    def kernel(*refs):
+        i = 0
+        t_own = refs[i]; i += 1
+        t_srcs = refs[i: i + n_cross]; i += n_cross
+        d1 = refs[i] if hD1 else None; i += hD1
+        d2 = refs[i] if hD2 else None; i += hD2
+        d3 = refs[i] if hD3 else None; i += hD3
+        wlo = refs[i] if hWlo else None; i += hWlo
+        wmidT = refs[i] if hWmid else None; i += hWmid
+        a_refs = refs[i: i + n_cross]; i += n_cross
+        out = refs[i]
+
+        T = t_own[0]  # [cmp, clp]
+        acc = jnp.zeros_like(T)
+        if d1 is not None:
+            d = d1[:]
+            if d2 is not None:
+                d = d + d2[0][:, None]
+            if d3 is not None:
+                d = d + d3[0][None, :]
+            acc = T * d
+        elif d2 is not None:
+            d = d2[0][:, None]
+            if d3 is not None:
+                d = d + d3[0][None, :]
+            acc = T * d
+        elif d3 is not None:
+            acc = T * d3[0][None, :]
+        if wlo is not None:
+            acc = acc + jnp.dot(T, wlo[:],
+                                preferred_element_type=jnp.float32,
+                                precision=KRON_PRECISION)
+        if wmidT is not None:
+            acc = acc + jnp.dot(wmidT[:], T,
+                                preferred_element_type=jnp.float32,
+                                precision=KRON_PRECISION)
+        for (t_src, a_ref, (cmp_s, clp_s, r0, c0, ln, val)) in zip(
+                t_srcs, a_refs, cross_shapes):
+            X = jnp.dot(t_src[0, r0:r0 + ln, :], a_ref[:],
+                        preferred_element_type=jnp.float32,
+                        precision=KRON_PRECISION)
+            if val != 1.0:
+                X = jnp.float32(val) * X
+            acc = acc.at[c0:c0 + ln, :].add(X)
+        out[0] = acc
+
+    in_specs = [pl.BlockSpec((1, cmp, clp), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for (cmp_s, clp_s, *_r) in cross_shapes:
+        in_specs.append(pl.BlockSpec((1, cmp_s, clp_s), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    if hD1:
+        in_specs.append(pl.BlockSpec((cmp, clp), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    if hD2:
+        in_specs.append(pl.BlockSpec((1, cmp), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    if hD3:
+        in_specs.append(pl.BlockSpec((1, clp), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    if hWlo:
+        in_specs.append(pl.BlockSpec((clp, clp), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    if hWmid:
+        in_specs.append(pl.BlockSpec((cmp, cmp), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    for (cmp_s, clp_s, *_r) in cross_shapes:
+        in_specs.append(pl.BlockSpec((clp_s, clp), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(ch,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, cmp, clp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ch, cmp, clp), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
+                              interpret: bool = False):
+    """H|psi> on BlockVec leaves: fused Pallas pass for hi-local terms + XLA
+    for the hi-axis terms. f32 real states only (solvers use real planes on
+    TPU); falls back to the XLA apply for anything else."""
+    if jnp.iscomplexobj(blocks[0]) or blocks[0].dtype != jnp.float32:
+        return apply_H_sector_kron(blocks, None, layout, tables)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    plans = fused_group_plans(layout)
+    dev = tables
+    if dev is None:
+        from .sector_kron import _device_tables
+
+        dev = _device_tables(layout)
+
+    # hi-axis terms (W_hi + mid|hi cross) via the XLA blocks path
+    hi = apply_H_sector_kron(list(blocks), None, layout, dev,
+                             terms="hi,crossh")
+
+    outs = []
+    for plan, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in zip(plans,
+                                                           layout.groups):
+        gi = plan.gi
+        args = [blocks[gi]]
+        cross_shapes = []
+        for (g_src, r0, c0, ln, val, A) in plan.cross:
+            (_, _, _, chs, _, _, cmps, clps) = layout.groups[g_src]
+            args.append(blocks[g_src])
+            cross_shapes.append((cmps, clps, r0, c0, ln, val))
+        has = (plan.D1 is not None, plan.D2 is not None,
+               plan.D3 is not None, plan.W_lo is not None,
+               plan.W_mid_T is not None)
+        for nm, val_ in (("D1", plan.D1), ("D2", plan.D2), ("D3", plan.D3),
+                         ("W_lo", plan.W_lo), ("W_mid_T", plan.W_mid_T)):
+            if val_ is not None:
+                args.append(jnp.asarray(val_, jnp.float32))
+        for (g_src, r0, c0, ln, val, A) in plan.cross:
+            args.append(jnp.asarray(A, jnp.float32))
+        call = _build_group_call((ch, cmp, clp), has, tuple(cross_shapes),
+                                 interpret)
+        acc = call(*args)
+        acc = acc + hi[gi]
+        outs.append(acc)
+
+    # rare unsupported local terms -> XLA addendum
+    if any(plan.unsupported for plan in plans):
+        extra = _xla_unsupported(blocks, layout, dev, plans)
+        outs = [o + e if e is not None else o for o, e in zip(outs, extra)]
+    return outs
+
+
+def _xla_unsupported(blocks, layout, dev, plans):
+    """Apply the cross_meta entries the kernel could not fuse (both-matmul
+    local terms etc.) through the generic contraction path."""
+    from .sector_kron import _contract
+
+    outs = [None] * len(layout.groups)
+    for plan in plans:
+        for (g_src, pa, pb, a_key, b_key) in plan.unsupported:
+            T = blocks[g_src]
+            A = dev["cross"].get(a_key)
+            B = dev["cross"].get(b_key)
+            runs_a = layout.cross_runs.get(a_key)
+            runs_b = layout.cross_runs.get(b_key)
+            acc = outs[plan.gi]
+            # reuse the generic mixed logic: runs as slice adds
+            if runs_a is not None or runs_b is not None:
+                runs, pr = (runs_a, pa) if runs_a is not None else (runs_b, pb)
+                m_key, pm = (b_key, pb) if runs_a is not None else (a_key, pa)
+                M = dev["cross"][m_key]
+                base = jnp.zeros_like(blocks[plan.gi])
+                for (r0, c0, ln, val) in runs:
+                    X = _contract(T[:, r0:r0 + ln] if pr == 1 else T,
+                                  M, pm, jnp.float32)
+                    if val != 1.0:
+                        X = jnp.float32(val) * X
+                    base = base.at[:, c0:c0 + ln].add(X) if pr == 1 else base
+                acc = base if acc is None else acc + base
+            else:
+                X = _contract(T, A, pa, jnp.float32)
+                X = _contract(X, B, pb, jnp.float32)
+                acc = X if acc is None else acc + X
+            outs[plan.gi] = acc
+    return outs

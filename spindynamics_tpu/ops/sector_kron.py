@@ -672,10 +672,14 @@ def apply_H_sector_kron(psi, diag, layout: SectorKronLayout, tables=None,
 
     diag=None uses the layout's FACTORED diagonal (per-part broadcast vectors —
     no N-sized diag read; the fast path). An explicit `diag` array (same kron
-    order, flat) overrides it. `terms` restricts the applied term classes
-    ("all" | comma-set of diag,lo,mid,hi,cross) — profiling hook only."""
+    order, flat) overrides it. `terms` restricts the applied term classes:
+    "all" | comma-set of diag,lo,mid,hi,cross — plus the split cross classes
+    "crossl" (hi-axis-untouched cross terms, i.e. lo|mid bonds: shard-local,
+    fused by ops/pallas_kron) and "crossh" (terms touching the hi axis)."""
     want = (frozenset(("diag", "lo", "mid", "hi", "cross"))
             if terms == "all" else frozenset(terms.split(",")))
+    want_crossl = "cross" in want or "crossl" in want
+    want_crossh = "cross" in want or "crossh" in want
     copy_only = terms == "copy"  # profiling: group views + concat, no physics
     blocks_in = isinstance(psi, (list, tuple))
     x0 = psi[0] if blocks_in else psi
@@ -760,7 +764,13 @@ def apply_H_sector_kron(psi, diag, layout: SectorKronLayout, tables=None,
             return acc.at[:, c0:c0 + ln].add(X)
 
         for (g_src, pa, pb, a_key, b_key) in (layout.cross_meta[gi]
-                                              if "cross" in want else ()):
+                                              if (want_crossl or want_crossh)
+                                              else ()):
+            touches_hi = 2 in (pa, pb)
+            if touches_hi and not want_crossh:
+                continue
+            if not touches_hi and not want_crossl:
+                continue
             runs_a = layout.cross_runs.get(a_key)
             runs_b = layout.cross_runs.get(b_key)
             T = G[g_src]

@@ -25,7 +25,8 @@ from .krylov import krylov_time_evolve
 from .lanczos import estimate_energy_bounds
 
 __all__ = ["run_chebyshev", "run_krylov", "evolve_trajectory",
-           "evolve_trajectory_planes"]
+           "evolve_trajectory_planes", "lanczos_groundstate_checkpointed",
+           "groundstate_kron"]
 
 
 def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
@@ -262,3 +263,48 @@ def lanczos_groundstate_checkpointed(
         if target_residual is not None and cinfo["residual"] < target_residual:
             break
     return E0, psi, info
+
+
+def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
+                     target_residual: float | None = 1e-3, key=None,
+                     fused: bool = True, dtype=None):
+    """Ground state of a sector_kron model in BLOCKS form (the TPU fast path).
+
+    Runs the restarted two-pass Lanczos (+ Chebyshev-filter polish) on a
+    BlockVec state with the fused Pallas hi-local kernel (ops/pallas_kron)
+    when `fused` and the dtype is f32. Returns (E0, psi_blockvec, info,
+    layout); use ops.sector_kron.blocks_to_flat for a flat vector.
+
+    This is the path that executes L=32 Sz=0 (N = 6.0e8) on ONE chip — the
+    reference tops out at L=20 (examples/example_kpmSqw.jl:11)."""
+    import jax
+
+    from ..ops.sector_kron import make_sector_kron_layout, sector_kron_tables
+    from .blockvec import BlockVec, bv_random
+    from .lanczos import lanczos_groundstate_restarted
+
+    if model.kron_splits is None:
+        raise ValueError("groundstate_kron needs layout='sector_kron'")
+    if dtype is None:
+        dtype = model.dtype
+    lay = make_sector_kron_layout(model, model.kron_splits, model.kron_pads)
+    tables = jax.tree_util.tree_map(jnp.asarray, sector_kron_tables(lay))
+    use_fused = fused and jnp.dtype(dtype) == jnp.float32
+
+    if use_fused:
+        from ..ops.pallas_kron import apply_H_sector_kron_fused
+
+        def mv(bv):
+            return BlockVec(apply_H_sector_kron_fused(bv.leaves, lay, tables))
+    else:
+        from ..ops.sector_kron import apply_H_sector_kron
+
+        def mv(bv):
+            return BlockVec(apply_H_sector_kron(bv.leaves, None, lay, tables))
+
+    v0 = bv_random(lay, key if key is not None else jax.random.PRNGKey(0),
+                   jnp.dtype(dtype))
+    E0, psi, info = lanczos_groundstate_restarted(
+        mv, None, lanc_m=lanc_m, cycles=cycles, dtype=dtype,
+        target_residual=target_residual, v0=v0)
+    return E0, psi, info, lay
