@@ -41,7 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .sector_kron import (
     SectorKronLayout,
     apply_H_sector_kron,
-    KRON_PRECISION,
 )
 
 __all__ = ["apply_H_sector_kron_fused", "fused_group_plans"]
@@ -129,15 +128,50 @@ def fused_group_plans(layout: SectorKronLayout):
     return plans
 
 
-def _build_group_call(shape_key, has, cross_shapes, interpret):
+def _bf16_exact(M) -> bool:
+    """True when every entry of M is exactly bf16-representable (dyadic J's
+    like 1.0/0.5 are; then the in-kernel split-2 dot is f32-grade)."""
+    import ml_dtypes
+
+    M32 = np.asarray(M, np.float32)
+    return bool(np.all(M32.astype(ml_dtypes.bfloat16).astype(np.float32)
+                       == M32))
+
+
+def _dot_split2(state, table, exact, flip=False):
+    """f32-grade MXU dot inside a Mosaic kernel.
+
+    Mosaic has no lowering for precision=HIGH (3-pass bf16), so for exact-bf16
+    tables we do the 2-pass split by hand — state = s_hi + s_lo (both bf16,
+    representation error ~2^-17 rel), table exact — which is both MORE
+    accurate and one pass CHEAPER than HIGH. Non-exact tables fall back to
+    precision='highest' (full f32, supported by Mosaic). flip=True computes
+    table @ state instead of state @ table."""
+    if not exact:
+        a, b = (table, state) if flip else (state, table)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision="highest")
+    s_hi = state.astype(jnp.bfloat16)
+    s_lo = (state - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    t_bf = table.astype(jnp.bfloat16)
+    if flip:
+        return (jnp.dot(t_bf, s_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(t_bf, s_lo, preferred_element_type=jnp.float32))
+    return (jnp.dot(s_hi, t_bf, preferred_element_type=jnp.float32)
+            + jnp.dot(s_lo, t_bf, preferred_element_type=jnp.float32))
+
+
+def _build_group_call(shape_key, has, cross_shapes, interpret, exact):
     """Return a pallas_call for one group structure.
 
     shape_key = (ch, cmp, clp); has = (D1?, D2?, D3?, W_lo?, W_mid?);
-    cross_shapes = tuple of (cmp_s, clp_s, r0, c0, ln) per fused cross term.
+    cross_shapes = tuple of (cmp_s, clp_s, r0, c0, ln, val) per fused cross
+    term; exact = (wlo_bf16_exact, wmid_bf16_exact, (per-cross exact...)).
     Grid: one hi row per step (blocks [1, cmp, clp] — full native tiles);
     inputs ordered [T_own, T_src..., D1?, D2?, D3?, W_lo?, W_mid_T?, A...]."""
     ch, cmp, clp = shape_key
     hD1, hD2, hD3, hWlo, hWmid = has
+    e_wlo, e_wmid, e_cross = exact
     n_cross = len(cross_shapes)
 
     def kernel(*refs):
@@ -169,21 +203,21 @@ def _build_group_call(shape_key, has, cross_shapes, interpret):
         elif d3 is not None:
             acc = T * d3[0][None, :]
         if wlo is not None:
-            acc = acc + jnp.dot(T, wlo[:],
-                                preferred_element_type=jnp.float32,
-                                precision=KRON_PRECISION)
+            acc = acc + _dot_split2(T, wlo[:], e_wlo)
         if wmidT is not None:
-            acc = acc + jnp.dot(wmidT[:], T,
-                                preferred_element_type=jnp.float32,
-                                precision=KRON_PRECISION)
-        for (t_src, a_ref, (cmp_s, clp_s, r0, c0, ln, val)) in zip(
-                t_srcs, a_refs, cross_shapes):
-            X = jnp.dot(t_src[0, r0:r0 + ln, :], a_ref[:],
-                        preferred_element_type=jnp.float32,
-                        precision=KRON_PRECISION)
+            acc = acc + _dot_split2(T, wmidT[:], e_wmid, flip=True)
+        for (t_src, a_ref, ecr, (cmp_s, clp_s, r0, c0, ln, val)) in zip(
+                t_srcs, a_refs, e_cross, cross_shapes):
+            X = _dot_split2(t_src[0, r0:r0 + ln, :], a_ref[:], ecr)
             if val != 1.0:
                 X = jnp.float32(val) * X
-            acc = acc.at[c0:c0 + ln, :].add(X)
+            # Mosaic has no scatter-add lowering for value .at[].add — place
+            # the slab with a (static-start) dynamic_update_slice on zeros
+            if ln == cmp:
+                acc = acc + X
+            else:
+                acc = acc + jax.lax.dynamic_update_slice(
+                    jnp.zeros_like(acc), X, (c0, 0))
         out[0] = acc
 
     in_specs = [pl.BlockSpec((1, cmp, clp), lambda i: (i, 0, 0),
@@ -260,8 +294,11 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
                 args.append(jnp.asarray(val_, jnp.float32))
         for (g_src, r0, c0, ln, val, A) in plan.cross:
             args.append(jnp.asarray(A, jnp.float32))
+        exact = (plan.W_lo is not None and _bf16_exact(plan.W_lo),
+                 plan.W_mid_T is not None and _bf16_exact(plan.W_mid_T),
+                 tuple(_bf16_exact(A) for (*_x, A) in plan.cross))
         call = _build_group_call((ch, cmp, clp), has, tuple(cross_shapes),
-                                 interpret)
+                                 interpret, exact)
         acc = call(*args)
         acc = acc + hi[gi]
         outs.append(acc)
