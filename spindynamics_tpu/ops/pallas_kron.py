@@ -187,38 +187,36 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact):
         out = refs[i]
 
         T = t_own[0]  # [cmp, clp]
+        gidx = pl.program_id(0)
         acc = jnp.zeros_like(T)
         if d1 is not None:
             d = d1[:]
             if d2 is not None:
-                d = d + d2[0][:, None]
+                d = d + d2[gidx][:, None]
             if d3 is not None:
-                d = d + d3[0][None, :]
+                d = d + d3[gidx][None, :]
             acc = T * d
         elif d2 is not None:
-            d = d2[0][:, None]
+            d = d2[gidx][:, None]
             if d3 is not None:
-                d = d + d3[0][None, :]
+                d = d + d3[gidx][None, :]
             acc = T * d
         elif d3 is not None:
-            acc = T * d3[0][None, :]
+            acc = T * d3[gidx][None, :]
         if wlo is not None:
             acc = acc + _dot_split2(T, wlo[:], e_wlo)
         if wmidT is not None:
             acc = acc + _dot_split2(T, wmidT[:], e_wmid, flip=True)
+        out[0] = acc
+        # cross slabs land on sub-ranges of the mid axis; Mosaic lowers
+        # neither scatter-add nor value dynamic_update_slice, so accumulate
+        # by read-modify-write on the OUTPUT ref with static slices
         for (t_src, a_ref, ecr, (cmp_s, clp_s, r0, c0, ln, val)) in zip(
                 t_srcs, a_refs, e_cross, cross_shapes):
             X = _dot_split2(t_src[0, r0:r0 + ln, :], a_ref[:], ecr)
             if val != 1.0:
                 X = jnp.float32(val) * X
-            # Mosaic has no scatter-add lowering for value .at[].add — place
-            # the slab with a (static-start) dynamic_update_slice on zeros
-            if ln == cmp:
-                acc = acc + X
-            else:
-                acc = acc + jax.lax.dynamic_update_slice(
-                    jnp.zeros_like(acc), X, (c0, 0))
-        out[0] = acc
+            out[0, c0:c0 + ln, :] = out[0, c0:c0 + ln, :] + X
 
     in_specs = [pl.BlockSpec((1, cmp, clp), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)]
@@ -229,10 +227,12 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact):
         in_specs.append(pl.BlockSpec((cmp, clp), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     if hD2:
-        in_specs.append(pl.BlockSpec((1, cmp), lambda i: (i, 0),
+        # full-array block: per-row blocks violate the (8,128)-divisible rule;
+        # the kernel indexes rows by pl.program_id (D2/D3 are tiny)
+        in_specs.append(pl.BlockSpec((ch, cmp), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     if hD3:
-        in_specs.append(pl.BlockSpec((1, clp), lambda i: (i, 0),
+        in_specs.append(pl.BlockSpec((ch, clp), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
     if hWlo:
         in_specs.append(pl.BlockSpec((clp, clp), lambda i: (0, 0),
@@ -256,14 +256,24 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact):
 
 
 def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
-                              interpret: bool = False):
+                              interpret: bool = False, top_k: int | None = None):
     """H|psi> on BlockVec leaves: fused Pallas pass for hi-local terms + XLA
     for the hi-axis terms. f32 real states only (solvers use real planes on
-    TPU); falls back to the XLA apply for anything else."""
+    TPU); falls back to the XLA apply for anything else.
+
+    top_k: fuse only the top_k LARGEST groups (default env SDTPU_FUSED_TOPK
+    or 16); the tail runs through the XLA blocks path. Every distinct group
+    is a distinct Mosaic module and the remote compiler pays ~15-20 s each —
+    the top 16 groups carry ~75% of N, bounding first-compile time at a few
+    minutes while keeping most of the fusion win."""
     if jnp.iscomplexobj(blocks[0]) or blocks[0].dtype != jnp.float32:
         return apply_H_sector_kron(blocks, None, layout, tables)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
+    if top_k is None:
+        import os
+
+        top_k = int(os.environ.get("SDTPU_FUSED_TOPK", "16"))
     plans = fused_group_plans(layout)
     dev = tables
     if dev is None:
@@ -271,14 +281,28 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
 
         dev = _device_tables(layout)
 
+    sizes = [(ch * cmp * clp, gi) for gi, (_, _, _, ch, _, _, cmp, clp)
+             in enumerate(layout.groups)]
+    fused_set = frozenset(gi for _, gi in
+                          sorted(sizes, reverse=True)[:top_k])
+    tail = frozenset(range(len(layout.groups))) - fused_set
+
     # hi-axis terms (W_hi + mid|hi cross) via the XLA blocks path
     hi = apply_H_sector_kron(list(blocks), None, layout, dev,
                              terms="hi,crossh")
+    # tail groups: all hi-local terms via XLA too
+    tail_out = (apply_H_sector_kron(list(blocks), None, layout, dev,
+                                    terms="diag,lo,mid,crossl",
+                                    group_filter=tail)
+                if tail else None)
 
     outs = []
     for plan, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in zip(plans,
                                                            layout.groups):
         gi = plan.gi
+        if gi in tail:
+            outs.append(tail_out[gi] + hi[gi])
+            continue
         args = [blocks[gi]]
         cross_shapes = []
         for (g_src, r0, c0, ln, val, A) in plan.cross:
@@ -303,9 +327,11 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
         acc = acc + hi[gi]
         outs.append(acc)
 
-    # rare unsupported local terms -> XLA addendum
-    if any(plan.unsupported for plan in plans):
-        extra = _xla_unsupported(blocks, layout, dev, plans)
+    # rare unsupported local terms -> XLA addendum (fused groups only; the
+    # tail path already applied its full crossl set)
+    if any(plan.unsupported for plan in plans if plan.gi in fused_set):
+        extra = _xla_unsupported(blocks, layout, dev,
+                                 [p for p in plans if p.gi in fused_set])
         outs = [o + e if e is not None else o for o, e in zip(outs, extra)]
     return outs
 

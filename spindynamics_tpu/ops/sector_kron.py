@@ -657,7 +657,7 @@ def _contract(T, M, part, rdtype):
 
 
 def apply_H_sector_kron(psi, diag, layout: SectorKronLayout, tables=None,
-                        terms: str = "all"):
+                        terms: str = "all", group_filter=None):
     """H|psi> in the kron group order.
 
     psi is either the FLAT kron-order vector (length layout.n_states; returns
@@ -675,7 +675,10 @@ def apply_H_sector_kron(psi, diag, layout: SectorKronLayout, tables=None,
     order, flat) overrides it. `terms` restricts the applied term classes:
     "all" | comma-set of diag,lo,mid,hi,cross — plus the split cross classes
     "crossl" (hi-axis-untouched cross terms, i.e. lo|mid bonds: shard-local,
-    fused by ops/pallas_kron) and "crossh" (terms touching the hi axis)."""
+    fused by ops/pallas_kron) and "crossh" (terms touching the hi axis).
+    group_filter (blocks mode): iterable of group indices to compute — other
+    groups return zero leaves (the fused hybrid computes the top-K groups in
+    Pallas and the tail here; unused zero leaves are pruned by XLA)."""
     want = (frozenset(("diag", "lo", "mid", "hi", "cross"))
             if terms == "all" else frozenset(terms.split(",")))
     want_crossl = "cross" in want or "crossl" in want
@@ -722,8 +725,12 @@ def apply_H_sector_kron(psi, diag, layout: SectorKronLayout, tables=None,
     else:
         G = [gview(psi_v, gi) for gi in range(len(layout.groups))]
 
+    gset = None if group_filter is None else frozenset(group_filter)
     outs = []
     for gi, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in enumerate(layout.groups):
+        if gset is not None and gi not in gset:
+            outs.append(jnp.zeros_like(G[gi]))
+            continue
         if copy_only:
             if blocks_in:
                 outs.append(G[gi] * 1.000001)
