@@ -142,6 +142,16 @@ def bench_embedded(L, backend, reps, hbm_bw):
 def main():
     import jax
 
+    # persistent compilation cache: the relay compile is minutes per variant;
+    # cached executables make re-runs (and the driver's end-of-round bench)
+    # start in seconds. Harmless no-op if the backend can't serialize.
+    cache_dir = os.environ.get("BENCH_CACHE_DIR", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     if os.environ.get("BENCH_PLATFORM"):
         # the ambient sitecustomize pins the TPU platform regardless of
         # JAX_PLATFORMS; an explicit in-process override is required for CPU runs
