@@ -29,7 +29,12 @@ Env knobs: BENCH_L (headline L, default 32), BENCH_MATRIX (comma list of
 extra Ls, default "28"; empty disables), BENCH_BACKEND (sector_kron|blocked|
 tensor|pallas|ell; default sector_kron), BENCH_REPS (default 16),
 BENCH_PLATFORM, BENCH_HBM_BW (default v5e 819e9), BENCH_F32_TFLOPS (default
-v5e measured-matmul peak; see docs/DESIGN.md MXU calibration).
+35.5e12 = the MEASURED matmul rate at precision=high on this v5e for the
+kron contraction shapes — scripts/mxu_calibrate.py. `high` (3-pass bf16, or
+the equivalent in-kernel split-2) is the MINIMUM precision that meets the
+physics tolerances: `default` truncates operands to bf16 (2.4e-3/term,
+sinks L=32 residuals), so the f32-grade matmul speed-of-light — not the
+nominal bf16 peak — is the honest roofline denominator).
 """
 
 import json
@@ -163,7 +168,7 @@ def main():
     extra = os.environ.get("BENCH_MATRIX", "28" if backend == "sector_kron" else "")
     reps = int(os.environ.get("BENCH_REPS", "16"))
     hbm_bw = float(os.environ.get("BENCH_HBM_BW", 819e9))  # v5e
-    f32_tflops = float(os.environ.get("BENCH_F32_TFLOPS", 49e12))
+    f32_tflops = float(os.environ.get("BENCH_F32_TFLOPS", 35.5e12))
 
     def run_one(l):
         if backend == "sector_kron":

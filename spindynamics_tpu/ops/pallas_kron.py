@@ -177,6 +177,7 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact):
     def kernel(*refs):
         i = 0
         t_own = refs[i]; i += 1
+        seed = refs[i]; i += 1  # XLA-computed hi-axis terms: seeds acc
         t_srcs = refs[i: i + n_cross]; i += n_cross
         d1 = refs[i] if hD1 else None; i += hD1
         d2 = refs[i] if hD2 else None; i += hD2
@@ -188,21 +189,21 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact):
 
         T = t_own[0]  # [cmp, clp]
         gidx = pl.program_id(0)
-        acc = jnp.zeros_like(T)
+        acc = seed[0]
         if d1 is not None:
             d = d1[:]
             if d2 is not None:
                 d = d + d2[gidx][:, None]
             if d3 is not None:
                 d = d + d3[gidx][None, :]
-            acc = T * d
+            acc = acc + T * d
         elif d2 is not None:
             d = d2[gidx][:, None]
             if d3 is not None:
                 d = d + d3[gidx][None, :]
-            acc = T * d
+            acc = acc + T * d
         elif d3 is not None:
-            acc = T * d3[gidx][None, :]
+            acc = acc + T * d3[gidx][None, :]
         if wlo is not None:
             acc = acc + _dot_split2(T, wlo[:], e_wlo)
         if wmidT is not None:
@@ -219,7 +220,9 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact):
             out[0, c0:c0 + ln, :] = out[0, c0:c0 + ln, :] + X
 
     in_specs = [pl.BlockSpec((1, cmp, clp), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)]
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cmp, clp), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]  # seed (hi terms)
     for (cmp_s, clp_s, *_r) in cross_shapes:
         in_specs.append(pl.BlockSpec((1, cmp_s, clp_s), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -303,7 +306,7 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
         if gi in tail:
             outs.append(tail_out[gi] + hi[gi])
             continue
-        args = [blocks[gi]]
+        args = [blocks[gi], hi[gi]]
         cross_shapes = []
         for (g_src, r0, c0, ln, val, A) in plan.cross:
             (_, _, _, chs, _, _, cmps, clps) = layout.groups[g_src]
@@ -323,9 +326,7 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
                  tuple(_bf16_exact(A) for (*_x, A) in plan.cross))
         call = _build_group_call((ch, cmp, clp), has, tuple(cross_shapes),
                                  interpret, exact)
-        acc = call(*args)
-        acc = acc + hi[gi]
-        outs.append(acc)
+        outs.append(call(*args))
 
     # rare unsupported local terms -> XLA addendum (fused groups only; the
     # tail path already applied its full crossl set)
