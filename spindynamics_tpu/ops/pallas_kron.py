@@ -265,10 +265,10 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
     TPU); falls back to the XLA apply for anything else.
 
     top_k: fuse only the top_k LARGEST groups (default env SDTPU_FUSED_TOPK
-    or 16); the tail runs through the XLA blocks path. Every distinct group
-    is a distinct Mosaic module and the remote compiler pays ~15-20 s each —
-    the top 16 groups carry ~75% of N, bounding first-compile time at a few
-    minutes while keeping most of the fusion win."""
+    or 32); the tail runs through the XLA blocks path. Every distinct group
+    is a distinct Mosaic module and the remote compiler pays ~30-60 s each —
+    the top 32 groups carry ~92% of N at L=32, bounding first-compile time
+    while keeping nearly all of the fusion win."""
     if jnp.iscomplexobj(blocks[0]) or blocks[0].dtype != jnp.float32:
         return apply_H_sector_kron(blocks, None, layout, tables)
     if not interpret and jax.default_backend() == "cpu":
@@ -276,7 +276,7 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
     if top_k is None:
         import os
 
-        top_k = int(os.environ.get("SDTPU_FUSED_TOPK", "16"))
+        top_k = int(os.environ.get("SDTPU_FUSED_TOPK", "32"))
     plans = fused_group_plans(layout)
     dev = tables
     if dev is None:
