@@ -290,10 +290,19 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
                           sorted(sizes, reverse=True)[:top_k])
     tail = frozenset(range(len(layout.groups))) - fused_set
 
-    # hi-axis terms (W_hi + mid|hi cross) via the XLA blocks path
-    hi = apply_H_sector_kron(list(blocks), None, layout, dev,
-                             terms="hi,crossh")
-    # tail groups: all hi-local terms via XLA too
+    # hi-axis terms (W_hi + mid|hi cross) via the XLA blocks path. For the
+    # FUSED groups the seed is computed per group (group_filter singleton) so
+    # XLA can free each seed right after its pallas_call consumes it — one
+    # full-vector seed BlockVec alongside psi+outs OOMs a 16 GB chip at L=32.
+    def hi_for(gi):
+        return apply_H_sector_kron(list(blocks), None, layout, dev,
+                                   terms="hi,crossh",
+                                   group_filter=(gi,))[gi]
+
+    # tail groups (small, ~8% of N at the default top_k): batch both passes
+    hi_tail = (apply_H_sector_kron(list(blocks), None, layout, dev,
+                                   terms="hi,crossh", group_filter=tail)
+               if tail else None)
     tail_out = (apply_H_sector_kron(list(blocks), None, layout, dev,
                                     terms="diag,lo,mid,crossl",
                                     group_filter=tail)
@@ -304,9 +313,9 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
                                                            layout.groups):
         gi = plan.gi
         if gi in tail:
-            outs.append(tail_out[gi] + hi[gi])
+            outs.append(tail_out[gi] + hi_tail[gi])
             continue
-        args = [blocks[gi], hi[gi]]
+        args = [blocks[gi], hi_for(gi)]
         cross_shapes = []
         for (g_src, r0, c0, ln, val, A) in plan.cross:
             (_, _, _, chs, _, _, cmps, clps) = layout.groups[g_src]

@@ -437,12 +437,25 @@ def lanczos_groundstate_twopass(
 
 
 def restart_cycle(matvec, psi, lanc_m: int, tol: float = 1e-12,
-                  compensated: bool | None = None, dtype=None):
+                  compensated: bool | None = None, dtype=None,
+                  finalize=None):
     """ONE two-pass Lanczos restart cycle from `psi` (array or BlockVec).
 
     Returns (E0, ritz_psi, info). Deterministic given psi — the checkpointed
     runner (solvers/runners.lanczos_groundstate_checkpointed) resumes from a
-    saved psi and reproduces the uninterrupted trajectory bit-for-bit."""
+    saved psi and reproduces the uninterrupted trajectory bit-for-bit.
+
+    finalize(matvec, psi_unnorm) -> (psi, E, resid) overrides _ritz_finalize —
+    at L=32 the one-jit finalize (psi + full H psi + temps) brushes the 16 GB
+    HBM ceiling; runners.groundstate_kron passes a BUCKETED variant that
+    recomputes H psi per group bucket and reduces to scalars.
+
+    psi may be passed as a 1-element LIST, which this function pops —
+    transferring ownership so the CALLER's reference dies and the input
+    vector (3 GB at L=32) can be freed after normalization instead of
+    living through the whole cycle."""
+    if isinstance(psi, list):
+        psi = psi.pop()
     if dtype is None:
         dtype = psi.dtype
     if compensated is None:
@@ -462,7 +475,8 @@ def restart_cycle(matvec, psi, lanc_m: int, tol: float = 1e-12,
     psi = _second_pass_accumulate(
         matvec, v1, jnp.asarray(y, _real_dtype(dtype)), lanc_m, compensated
     )
-    psi, E, resid = _ritz_finalize(matvec, psi)
+    fin = _ritz_finalize if finalize is None else finalize
+    psi, E, resid = fin(matvec, psi)
     return float(E), psi, {"residual": float(resid), "m_eff": m_eff,
                            "evals": evals}
 
@@ -479,6 +493,7 @@ def lanczos_groundstate_restarted(
     target_residual: float | None = None,
     compensated: bool | None = None,
     v0=None,
+    finalize=None,
 ):
     """Restarted two-pass ground state: O(3N) memory AND high accuracy.
 
@@ -496,8 +511,11 @@ def lanczos_groundstate_restarted(
     info = {}
     del v0, mask
     for c in range(cycles):
-        E0, psi, cinfo = restart_cycle(matvec, psi, lanc_m, tol=tol,
-                                       compensated=compensated, dtype=dtype)
+        holder = [psi]
+        psi = None  # transfer ownership: the cycle frees it post-normalize
+        E0, psi, cinfo = restart_cycle(matvec, holder, lanc_m, tol=tol,
+                                       compensated=compensated, dtype=dtype,
+                                       finalize=finalize)
         residual = cinfo["residual"]
         m_eff = cinfo["m_eff"]
         info = dict(cinfo, cycles=c + 1)
@@ -524,9 +542,10 @@ def lanczos_groundstate_restarted(
         e1 = above[0] if above else E0 + 0.1 * width
         lo_cut = E0 + max(0.5 * (e1 - E0), 0.005 * width)
         hi = float(evals[-1]) + 0.05 * width
+        fin = _ritz_finalize if finalize is None else finalize
         for _ in range(max(cycles, 4)):
             psi = _chebyshev_filter(matvec, psi, lo_cut, hi, lanc_m)
-            psi, E, resid = _ritz_finalize(matvec, psi)
+            psi, E, resid = fin(matvec, psi)
             E0 = float(E)
             info["residual"] = float(resid)
             info["polished"] = info.get("polished", 0) + 1

@@ -20,6 +20,8 @@ from ..model import SpinModel
 from ..models.initial_states import domain_wall_state
 from ..observables import magnetization_per_site, structure_factor_Sq
 from ..ops.apply import matvec_fn
+from functools import partial
+
 from .chebyshev import chebyshev_coefficients, chebyshev_time_evolve
 from .krylov import krylov_time_evolve
 from .lanczos import estimate_energy_bounds
@@ -250,7 +252,9 @@ def lanczos_groundstate_checkpointed(
         if sharding is not None:
             psi = jax.device_put(psi, sharding)
     for c in range(start_cycle, cycles):
-        E0, psi, cinfo = restart_cycle(matvec, psi, lanc_m, tol=tol,
+        holder = [psi]
+        psi = None  # ownership transfer (see restart_cycle docstring)
+        E0, psi, cinfo = restart_cycle(matvec, holder, lanc_m, tol=tol,
                                        dtype=dtype)
         info = dict(cinfo, cycles=c + 1, resumed_at=start_cycle or None)
         if (c + 1) % save_every == 0 or c + 1 == cycles:
@@ -304,7 +308,63 @@ def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
 
     v0 = bv_random(lay, key if key is not None else jax.random.PRNGKey(0),
                    jnp.dtype(dtype))
+    finalize = _make_bucketed_finalize(lay, tables)
     E0, psi, info = lanczos_groundstate_restarted(
         mv, None, lanc_m=lanc_m, cycles=cycles, dtype=dtype,
-        target_residual=target_residual, v0=v0)
+        target_residual=target_residual, v0=v0, finalize=finalize)
     return E0, psi, info, lay
+
+
+def _make_bucketed_finalize(layout, tables, n_buckets: int = 4):
+    """Memory-lean Ritz finalize for BlockVec kron states.
+
+    The one-jit finalize holds psi + the full H psi + group temps at once —
+    at L=32 (3 GB/vector) that brushes the 16 GB HBM ceiling. This variant
+    normalizes psi (donated scale), then runs TWO bucket sweeps with the
+    group-filtered XLA apply: sweep 1 accumulates E = <psi|H|psi> as scalars,
+    sweep 2 (E known) accumulates ||(H psi)_g - E psi_g||^2. Peak memory =
+    psi + one bucket of outputs. Costs 2 extra applies per call — noise next
+    to a 60-apply restart cycle."""
+    import jax
+
+    from ..ops.sector_kron import apply_H_sector_kron
+    from ..utils.compensated import vdot2
+    from .blockvec import BlockVec
+
+    n_groups = len(layout.groups)
+    edges = np.linspace(0, n_groups, n_buckets + 1).astype(int)
+    buckets = [tuple(range(edges[i], edges[i + 1])) for i in range(n_buckets)
+               if edges[i] < edges[i + 1]]
+
+    @jax.jit
+    def _nrm2(leaves):
+        return sum(jnp.real(vdot2(x, x)) for x in leaves)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _scale(leaves, s):
+        return [x * s.astype(x.dtype) for x in leaves]
+
+    @partial(jax.jit, static_argnums=(1,))
+    def _e_part(leaves, bucket, tabs):
+        h = apply_H_sector_kron(list(leaves), None, layout, tabs,
+                                group_filter=bucket)
+        return sum(jnp.real(vdot2(leaves[g], h[g])) for g in bucket)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def _r_part(leaves, bucket, tabs, E):
+        h = apply_H_sector_kron(list(leaves), None, layout, tabs,
+                                group_filter=bucket)
+        return sum(jnp.real(vdot2(h[g] - leaves[g] * E, h[g] - leaves[g] * E))
+                   for g in bucket)
+
+    def finalize(matvec, psi_unnorm):
+        del matvec
+        leaves = list(psi_unnorm.leaves)
+        nrm = jnp.sqrt(jnp.maximum(_nrm2(leaves), 0.0))
+        leaves = _scale(leaves, 1.0 / nrm)
+        E = sum(_e_part(leaves, b, tables) for b in buckets)
+        r2 = sum(_r_part(leaves, b, tables, E) for b in buckets)
+        resid = jnp.sqrt(jnp.maximum(r2, 0.0))
+        return BlockVec(leaves), E, resid
+
+    return finalize
