@@ -1,7 +1,16 @@
 #!/usr/bin/env python
 """Benchmark: matrix-free H|psi> throughput (the hot kernel under every solver).
 
-Prints ONE JSON line:
+Timeout-immune output contract (VERDICT r2 item 1): every completed point is
+printed IMMEDIATELY as its own flushed JSON line, HEADLINE FIRST, and the final
+line (on a complete run) re-prints the headline with the full "matrix" of extra
+points.  A consumer that takes the last parseable line gets the combined
+headline on success and the most recent completed point if the process is
+killed mid-run; a consumer that takes the first line always gets the headline.
+A `BENCH_TIME_BUDGET` env (seconds, default 1200) skips remaining matrix
+points once exceeded — the headline is always attempted.
+
+Line shape:
   {"metric": ..., "value": ..., "unit": "nnz/s", "vs_baseline": ..., "matrix": [...]}
 
 - Headline (BASELINE.json north star): XXZ chain, L=32 Sz=0 sector
@@ -170,18 +179,35 @@ def main():
     hbm_bw = float(os.environ.get("BENCH_HBM_BW", 819e9))  # v5e
     f32_tflops = float(os.environ.get("BENCH_F32_TFLOPS", 35.5e12))
 
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "1200"))
+    t_start = time.time()
+
     def run_one(l):
         if backend == "sector_kron":
             return bench_sector_kron(l, reps, hbm_bw, f32_tflops)
         return bench_embedded(l, backend, reps, hbm_bw)
 
+    # Headline FIRST, printed the moment it exists — a later timeout cannot
+    # lose it (BENCH_r02 lost everything by printing once at the very end).
+    head = run_one(L)
+    print(json.dumps(head), flush=True)
+
     matrix = []
     for tok in [t for t in extra.split(",") if t.strip()]:
+        if time.time() - t_start > budget:
+            print(json.dumps({"skipped": f"L={tok}",
+                              "reason": "BENCH_TIME_BUDGET exceeded",
+                              **head}), flush=True)
+            continue
         matrix.append(run_one(int(tok)))
-    head = run_one(L)
+        # each completed extra point is itself a full valid headline-shaped
+        # line (metric/value/unit/vs_baseline), so a kill between points
+        # still leaves the last line parseable.
+        print(json.dumps(matrix[-1]), flush=True)
     if matrix:
         head = dict(head, matrix=matrix)
-    print(json.dumps(head))
+    # final line: the combined headline (last-line consumers see this).
+    print(json.dumps(head), flush=True)
 
 
 if __name__ == "__main__":

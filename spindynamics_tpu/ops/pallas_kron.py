@@ -365,13 +365,20 @@ def _xla_unsupported(blocks, layout, dev, plans):
                 runs, pr = (runs_a, pa) if runs_a is not None else (runs_b, pb)
                 m_key, pm = (b_key, pb) if runs_a is not None else (a_key, pa)
                 M = dev["cross"][m_key]
+                if pr != 1:
+                    # run factors only ever occur on the mid axis (p==1) for
+                    # unsupported entries today; a silent fall-through here
+                    # would DROP the cross term (advisor r2).
+                    raise NotImplementedError(
+                        f"run-form cross factor on axis {pr} in the XLA "
+                        "fallback for unsupported fused entries; extend "
+                        "_xla_unsupported before changing run classification")
                 base = jnp.zeros_like(blocks[plan.gi])
                 for (r0, c0, ln, val) in runs:
-                    X = _contract(T[:, r0:r0 + ln] if pr == 1 else T,
-                                  M, pm, jnp.float32)
+                    X = _contract(T[:, r0:r0 + ln], M, pm, jnp.float32)
                     if val != 1.0:
                         X = jnp.float32(val) * X
-                    base = base.at[:, c0:c0 + ln].add(X) if pr == 1 else base
+                    base = base.at[:, c0:c0 + ln].add(X)
                 acc = base if acc is None else acc + base
             else:
                 X = _contract(T, A, pa, jnp.float32)

@@ -685,6 +685,11 @@ def apply_H_sector_kron(psi, diag, layout: SectorKronLayout, tables=None,
     want_crossh = "cross" in want or "crossh" in want
     copy_only = terms == "copy"  # profiling: group views + concat, no physics
     blocks_in = isinstance(psi, (list, tuple))
+    if blocks_in and diag is not None:
+        raise ValueError(
+            "explicit `diag` override is flat-vector-only: in blocks mode the "
+            "flat offsets in the override do not map onto block leaves; pass "
+            "diag=None (the factored per-part tables are used instead)")
     x0 = psi[0] if blocks_in else psi
     rdtype = x0.real.dtype if jnp.iscomplexobj(x0) else x0.dtype
     dev = tables if tables is not None else _device_tables(layout)

@@ -1,12 +1,22 @@
-"""Explicit shard_map matvec: row-partitioned SpMV with an all-gathered source.
+"""Explicit shard_map matvec: row-partitioned ELL SpMV over a device mesh.
 
-The automatic SPMD path (shard arrays + jit, parallel/mesh.py) already works;
-this module is the explicitly-scheduled variant for performance control: each
-device holds a row block of (diag, nbr) and its psi shard, all-gathers psi over
-the mesh axis (ICI), and computes its rows locally — gather-from-replica +
-local ELL contraction, the communication pattern SURVEY.md §2.3 calls for
-(halo-compression of the all-gather is a later optimization; at L<=32 the
-full vector fits comfortably in HBM)."""
+Two communication schedules (SURVEY.md §2.3 — the scatter in the reference's
+threaded apply_H!, /root/reference/src/Hamiltonian.jl:167,171, becomes static
+device-edge exchange):
+
+- `sharded_matvec_fn`: all-gather the source vector over the mesh axis, then
+  local ELL rows. Simple; per-device memory O(N) — fine while the full vector
+  fits in HBM.
+- `sharded_matvec_halo_fn`: MEMORY-SCALING static halo exchange. The ELL
+  neighbor table is static (combinadic basis), so the exact set of remote
+  rows each device needs — and therefore every (src -> dst) send list — is
+  known at build time. Each apply runs D-1 ppermute rounds shipping only
+  those rows; the neighbor table is remapped host-side into the
+  [local block ‖ halo slabs ‖ zero-sentinel] extended vector. Per-device
+  memory = B + (D-1)*Hp with Hp the max pair-halo (measured ~2.5*B total at
+  D=8 for the NN chain vs the all-gather's (D-1)*B = 7*B, and the gap widens
+  with D: halo volume per device is set by bond locality in rank space, not
+  by the mesh size)."""
 
 from __future__ import annotations
 
@@ -17,7 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..model import SpinModel
 
-__all__ = ["sharded_matvec_fn", "padded_dim", "pad_state", "unpad_state", "pad_model"]
+__all__ = ["sharded_matvec_fn", "sharded_matvec_halo_fn", "padded_dim",
+           "pad_state", "unpad_state", "pad_model", "build_halo_plan"]
 
 
 def padded_dim(N: int, n_shards: int) -> int:
@@ -93,5 +104,94 @@ def sharded_matvec_fn(model: SpinModel, mesh: Mesh, axis_name: str = "rows"):
 
     def matvec(psi):
         return mapped(diag, nbr, hop_J, psi)
+
+    return matvec, pm
+
+
+def build_halo_plan(nbr_np: np.ndarray, Np: int, D: int):
+    """Static halo plan for a row-partitioned ELL table.
+
+    Returns (send_idx [D, D-1, Hp] int32, nbr_ext [Np, n_bonds] int32, Hp):
+    send_idx[s, k-1] lists the LOCAL rows device s ships to (s+k)%D each
+    apply (0-padded; padding is sent but never referenced); nbr_ext remaps
+    every neighbor of device d's rows into d's extended vector
+    [psi_blk (B) ‖ halo slab k=1..D-1 (Hp each) ‖ one zero sentinel]."""
+    B = Np // D
+    n_bonds = nbr_np.shape[1]
+    need = [[None] * D for _ in range(D)]  # need[d][k]: rows from s=(d-k)%D
+    for d in range(D):
+        blk = nbr_np[d * B:(d + 1) * B]
+        valid = blk >= 0
+        owner = np.where(valid, blk // B, -1)
+        for k in range(1, D):
+            s = (d - k) % D
+            need[d][k] = np.unique(blk[valid & (owner == s)])
+    Hp = max([len(need[d][k]) for d in range(D) for k in range(1, D)]
+             + [1])
+    Hp = -(-Hp // 8) * 8  # sublane-align the halo slabs
+    send_idx = np.zeros((D, max(D - 1, 1), Hp), np.int32)
+    nbr_ext = np.zeros((Np, n_bonds), np.int32)
+    sentinel = B + (D - 1) * Hp
+    for d in range(D):
+        blk = nbr_np[d * B:(d + 1) * B]
+        valid = blk >= 0
+        out = np.full(blk.shape, sentinel, np.int32)
+        local = valid & (blk // B == d)
+        out[local] = blk[local] - d * B
+        for k in range(1, D):
+            s = (d - k) % D
+            rows = need[d][k]
+            send_idx[s, k - 1, :len(rows)] = rows - s * B
+            if len(rows) == 0:
+                continue
+            m = valid & (blk // B == s)
+            out[m] = B + (k - 1) * Hp + np.searchsorted(rows, blk[m])
+        nbr_ext[d * B:(d + 1) * B] = out
+    return send_idx, nbr_ext, Hp
+
+
+def sharded_matvec_halo_fn(model: SpinModel, mesh: Mesh,
+                           axis_name: str = "rows"):
+    """Memory-scaling shard_map H-apply: static per-pair halo exchange
+    (D-1 ppermute rounds) instead of a full all-gather — per-device memory
+    ~N/D + halo. Same signature/contract as `sharded_matvec_fn`."""
+    D = mesh.shape[axis_name]
+    pm = pad_model(model, D)
+    if pm.nbr is None:
+        raise ValueError("sharded_matvec_halo_fn requires an ELL neighbor table")
+    Np = pm.n_states
+    send_np, nbr_ext_np, Hp = build_halo_plan(np.asarray(pm.nbr), Np, D)
+
+    rows = NamedSharding(mesh, P(axis_name))
+    rows2d = NamedSharding(mesh, P(axis_name, None))
+    rep = NamedSharding(mesh, P())
+    diag = jax.device_put(pm.diag, rows)
+    nbr_ext = jax.device_put(jnp.asarray(nbr_ext_np), rows2d)
+    send_idx = jax.device_put(jnp.asarray(send_np),
+                              NamedSharding(mesh, P(axis_name, None, None)))
+    hop_J = jax.device_put(pm.hop_J, rep)
+
+    def local_apply(diag_blk, nbrx_blk, hop_J_rep, psi_blk, send_blk):
+        halos = []
+        for k in range(1, D):  # static round count: compiled send/recv edges
+            vals = jnp.take(psi_blk, send_blk[0, k - 1], axis=0)
+            perm = [(s, (s + k) % D) for s in range(D)]
+            halos.append(jax.lax.ppermute(vals, axis_name, perm))
+        psi_ext = jnp.concatenate(
+            [psi_blk, *halos, jnp.zeros((1,), psi_blk.dtype)])
+        gathered = jnp.take(psi_ext, nbrx_blk, axis=0)
+        out = psi_blk * diag_blk.astype(psi_blk.dtype)
+        return out + gathered @ hop_J_rep.astype(psi_blk.dtype)
+
+    mapped = jax.shard_map(
+        local_apply,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name, None), P(), P(axis_name),
+                  P(axis_name, None, None)),
+        out_specs=P(axis_name),
+    )
+
+    def matvec(psi):
+        return mapped(diag, nbr_ext, hop_J, psi, send_idx)
 
     return matvec, pm

@@ -170,6 +170,10 @@ def _lanczos_scan(
 
             w, om_next = jax.lax.cond(need, do_reorth, lambda a: a, (w, om_next))
             beta = jnp.where(need, _norm_c(w, compensated).astype(rdtype), beta)
+            # keep the post-reorth beta in the history: later omega-recurrence
+            # steps use b_hist[j] as a coupling coefficient, and the stale
+            # pre-reorth value under-triggers subsequent sweeps.
+            b_hist = b_hist.at[j].set(beta)
             om_prev, om_curr = om_curr, om_next
 
         ok = jnp.logical_and(active, beta > tol)
@@ -523,9 +527,13 @@ def lanczos_groundstate_restarted(
             break
         if m_eff < lanc_m:  # invariant subspace reached
             break
-        if c >= 1 and residual > 0.5 * info_prev_residual:
+        if (target_residual is not None and c >= 1
+                and residual > 0.5 * info_prev_residual):
             # no-reorth restarts stall once beta_1 ~ residual (rounding noise
-            # dominates the recurrence); switch to the Chebyshev filter polish
+            # dominates the recurrence); switch to the Chebyshev filter polish.
+            # Only when target_residual is set — the polish below then takes
+            # over; with cycles-only callers every requested cycle runs
+            # (slow 0.5-1x/cycle reduction is normal near small gaps).
             break
         info_prev_residual = residual
 

@@ -65,6 +65,53 @@ def test_shard_map_matvec_matches(problem, mesh):
     assert np.allclose(full[m.n_states :], 0.0)
 
 
+def test_halo_matvec_matches(problem, mesh):
+    """Static halo exchange (D-1 ppermute rounds) == single-device apply."""
+    from spindynamics_tpu.parallel.sharded_apply import sharded_matvec_halo_fn
+
+    m, psi = problem
+    want = np.asarray(apply_H(psi, m))
+    matvec, pm = sharded_matvec_halo_fn(m, mesh)
+    psi_p = shard_state(pad_state(psi, 8), mesh)
+    got = np.asarray(unpad_state(matvec(psi_p), m.n_states))
+    assert np.allclose(got, want, atol=1e-12)
+    assert np.allclose(np.asarray(matvec(psi_p))[m.n_states:], 0.0)
+
+
+def test_halo_matvec_no_full_allgather(problem, mesh):
+    """Memory-scaling contract (VERDICT r2 item 7): the compiled halo apply
+    communicates via collective-permute only — no all-gather of the state,
+    mirroring the sector_kron assertion at tests/test_sharding.py
+    TestShardedKronScaling.test_no_full_allgather."""
+    from spindynamics_tpu.parallel.sharded_apply import sharded_matvec_halo_fn
+
+    m, psi = problem
+    matvec, pm = sharded_matvec_halo_fn(m, mesh)
+    psi_p = shard_state(pad_state(psi, 8), mesh)
+    txt = jax.jit(matvec).lower(psi_p).compile().as_text()
+    assert "all-gather" not in txt, "halo ELL apply all-gathers the state"
+    assert "collective-permute" in txt
+
+
+def test_halo_matvec_long_range(mesh):
+    """Non-NN bonds stress the halo plan (remote sets differ per pair)."""
+    from spindynamics_tpu.parallel.sharded_apply import sharded_matvec_halo_fn
+    from spindynamics_tpu import build_model
+
+    L = 10
+    hopping = ([(i, (i + 3) % L, 0.7) for i in range(L)]
+               + [(i, i + 1, 1.0) for i in range(L - 1)])
+    m = build_model(L, nup=4, hopping=hopping, dtype=jnp.float64,
+                    build_neighbor_table=True)
+    rng = np.random.default_rng(3)
+    psi = jnp.asarray(rng.normal(size=m.n_states))
+    want = np.asarray(apply_H(psi, m))
+    matvec, pm = sharded_matvec_halo_fn(m, mesh)
+    psi_p = shard_state(pad_state(psi, 8), mesh)
+    got = np.asarray(unpad_state(matvec(psi_p), m.n_states))
+    assert np.allclose(got, want, atol=1e-12)
+
+
 def test_sharded_lanczos_groundstate(problem, mesh):
     """Full solver stack on sharded arrays: energies agree to 1e-9."""
     m, _ = problem
