@@ -88,14 +88,17 @@ def bench_sector_kron(L, reps, hbm_bw, f32_tflops):
     # the SpMV measurement (||H~|| growth over 4 steps is ~1e6, safe in f32).
     @partial(jax.jit, static_argnums=(2,))
     def chain(psi, tables, rep):
-        fused = os.environ.get("BENCH_FUSED", "1") == "1"
+        # "0": XLA blocks path; "1": fused kernel, crossh in the XLA seed;
+        # "2": fused-v2, crossh streamed through the kernel (default)
+        fused = os.environ.get("BENCH_FUSED", "2")
 
         def body(v, _):
-            if fused:
+            if fused in ("1", "2"):
                 from spindynamics_tpu.ops.pallas_kron import (
                     apply_H_sector_kron_fused)
 
-                w = BlockVec(apply_H_sector_kron_fused(v.leaves, lay, tables))
+                w = BlockVec(apply_H_sector_kron_fused(
+                    v.leaves, lay, tables, fuse_crossh=fused == "2"))
             else:
                 w = BlockVec(apply_H_sector_kron(v.leaves, None, lay, tables))
             # fixed rescale keeps |w| bounded over the chain without the

@@ -49,7 +49,8 @@ __all__ = ["apply_H_sector_kron_fused", "fused_group_plans"]
 class _GroupPlan:
     """Static per-group fusion plan (host side)."""
 
-    def __init__(self, gi, D1, D2, D3, W_lo, W_mid_T, cross, unsupported):
+    def __init__(self, gi, D1, D2, D3, W_lo, W_mid_T, cross, unsupported,
+                 crossh=(), crossh_fusable=False):
         self.gi = gi
         self.D1 = D1        # [cmp, clp] or None
         self.D2 = D2        # [ch, cmp] or None
@@ -61,6 +62,14 @@ class _GroupPlan:
         # cross_meta entries the kernel cannot fuse (rare: multi-run local
         # factor or both-matmul local term) — applied via the XLA path
         self.unsupported = unsupported
+        # crossh (v2 fusion): mid|hi run x run terms as in-kernel shifted-row
+        # slice adds — [(g_src, rb0, cb0, lnb, ((ra0, ca0, lna, val), ...))]
+        # where the hi factor is the single run (rb0, cb0, lnb) and each mid
+        # run becomes one static slice add. crossh_fusable: True when EVERY
+        # hi-axis cross entry of this group took this form (else the group's
+        # seed keeps computing crossh in XLA).
+        self.crossh = crossh
+        self.crossh_fusable = crossh_fusable
 
 
 def fused_group_plans(layout: SectorKronLayout):
@@ -109,7 +118,7 @@ def fused_group_plans(layout: SectorKronLayout):
         for entry in layout.cross_meta[gi]:
             (g_src, pa, pb, a_key, b_key) = entry
             if 2 in (pa, pb):
-                continue  # hi-axis term: stays in XLA
+                continue  # hi-axis term: XLA seed, or v2 crossh fusion below
             # supported pattern: single-run mid factor x lo matmul factor
             runs_a = layout.cross_runs.get(a_key)
             runs_b = layout.cross_runs.get(b_key)
@@ -122,8 +131,35 @@ def fused_group_plans(layout: SectorKronLayout):
             (r0, c0, ln, val) = runs_mid[0]
             A = layout.cross_pool[key_lo]
             cross.append((g_src, r0, c0, ln, float(val), A))
+        # ---- hi-axis cross terms (fused-v2): run x run slice adds ----------
+        # A mid|hi boundary bond with the rotated part-bit order factorizes
+        # into a SINGLE hi-axis run (constant source-row offset per output
+        # row — streamable by a shifted BlockSpec index map) times 1-2 mid
+        # runs (static in-row slice adds). This moves the crossh slab
+        # traffic (~2.6 N reads + RMW at L=32, ≈19 ms of the measured 17 ms
+        # roofline gap) from its own XLA pass into the kernel's single pass.
+        crossh = []
+        crossh_fusable = True
+        for entry in layout.cross_meta[gi]:
+            (g_src, pa, pb, a_key, b_key) = entry
+            if 2 not in (pa, pb):
+                continue
+            runs_a = layout.cross_runs.get(a_key)
+            runs_b = layout.cross_runs.get(b_key)
+            runs_mid, runs_hi = (runs_a, runs_b) if (pa, pb) == (1, 2) \
+                else (runs_b, runs_a)
+            if (pa, pb) != (1, 2) or runs_mid is None or runs_hi is None \
+                    or len(runs_hi) != 1:
+                crossh_fusable = False
+                break
+            (rb0, cb0, lnb, vb) = runs_hi[0]
+            mids = tuple((ra0, ca0, lna, float(va * vb))
+                         for (ra0, ca0, lna, va) in runs_mid)
+            crossh.append((g_src, rb0, cb0, lnb, mids))
+        if not crossh_fusable:
+            crossh = []
         plans.append(_GroupPlan(gi, D1, D2, D3, W_lo, W_mid_T, cross,
-                                unsupported))
+                                unsupported, tuple(crossh), crossh_fusable))
     layout._fused_plans = plans
     return plans
 
@@ -161,24 +197,34 @@ def _dot_split2(state, table, exact, flip=False):
             + jnp.dot(s_lo, t_bf, preferred_element_type=jnp.float32))
 
 
-def _build_group_call(shape_key, has, cross_shapes, interpret, exact):
+def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
+                      crossh_shapes=(), has_seed=True):
     """Return a pallas_call for one group structure.
 
     shape_key = (ch, cmp, clp); has = (D1?, D2?, D3?, W_lo?, W_mid?);
     cross_shapes = tuple of (cmp_s, clp_s, r0, c0, ln, val) per fused cross
-    term; exact = (wlo_bf16_exact, wmid_bf16_exact, (per-cross exact...)).
+    term; exact = (wlo_bf16_exact, wmid_bf16_exact, (per-cross exact...));
+    crossh_shapes (v2) = tuple of (ch_s, cmp_s, clp_s, cb0, lnb, mids) per
+    fused hi-axis cross term — the source block streams at hi row
+    clip(i + rb0 - cb0) and each mid run in `mids` is a static slice add
+    masked by the hi-run range; has_seed=False drops the XLA seed input
+    (group has no W_hi table and all its crossh terms are fused).
     Grid: one hi row per step (blocks [1, cmp, clp] — full native tiles);
-    inputs ordered [T_own, T_src..., D1?, D2?, D3?, W_lo?, W_mid_T?, A...]."""
+    inputs ordered [T_own, seed?, T_src..., T_srch..., D1?, D2?, D3?,
+    W_lo?, W_mid_T?, A...]."""
     ch, cmp, clp = shape_key
     hD1, hD2, hD3, hWlo, hWmid = has
     e_wlo, e_wmid, e_cross = exact
     n_cross = len(cross_shapes)
+    n_crossh = len(crossh_shapes)
 
     def kernel(*refs):
         i = 0
         t_own = refs[i]; i += 1
-        seed = refs[i]; i += 1  # XLA-computed hi-axis terms: seeds acc
+        if has_seed:
+            seed = refs[i]; i += 1  # XLA-computed hi-axis terms: seeds acc
         t_srcs = refs[i: i + n_cross]; i += n_cross
+        th_srcs = refs[i: i + n_crossh]; i += n_crossh
         d1 = refs[i] if hD1 else None; i += hD1
         d2 = refs[i] if hD2 else None; i += hD2
         d3 = refs[i] if hD3 else None; i += hD3
@@ -189,7 +235,7 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact):
 
         T = t_own[0]  # [cmp, clp]
         gidx = pl.program_id(0)
-        acc = seed[0]
+        acc = seed[0] if has_seed else jnp.zeros((cmp, clp), jnp.float32)
         if d1 is not None:
             d = d1[:]
             if d2 is not None:
@@ -218,14 +264,32 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact):
             if val != 1.0:
                 X = jnp.float32(val) * X
             out[0, c0:c0 + ln, :] = out[0, c0:c0 + ln, :] + X
+        # hi-axis cross (v2): shifted source row, mask rows outside the hi
+        # run (the BlockSpec clamps out-of-range DMAs to a real row whose
+        # values the mask zeroes), then 1-2 static mid-slice adds (VPU)
+        for (th, (ch_s, cmp_s, clp_s, rb0, cb0, lnb, mids)) in zip(
+                th_srcs, crossh_shapes):
+            in_run = jnp.logical_and(gidx >= cb0, gidx < cb0 + lnb)
+            msk = in_run.astype(jnp.float32)
+            src = th[0]
+            for (ra0, ca0, lna, val) in mids:
+                out[0, ca0:ca0 + lna, :] = (
+                    out[0, ca0:ca0 + lna, :]
+                    + (jnp.float32(val) * msk) * src[ra0:ra0 + lna, :])
 
     in_specs = [pl.BlockSpec((1, cmp, clp), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cmp, clp), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)]  # seed (hi terms)
+                             memory_space=pltpu.VMEM)]
+    if has_seed:
+        in_specs.append(pl.BlockSpec((1, cmp, clp), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))  # seed
     for (cmp_s, clp_s, *_r) in cross_shapes:
         in_specs.append(pl.BlockSpec((1, cmp_s, clp_s), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
+    for (ch_s, cmp_s, clp_s, rb0, cb0, lnb, mids) in crossh_shapes:
+        in_specs.append(pl.BlockSpec(
+            (1, cmp_s, clp_s),
+            lambda i, d=rb0 - cb0, n=ch_s: (jnp.clip(i + d, 0, n - 1), 0, 0),
+            memory_space=pltpu.VMEM))
     if hD1:
         in_specs.append(pl.BlockSpec((cmp, clp), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -259,10 +323,18 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact):
 
 
 def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
-                              interpret: bool = False, top_k: int | None = None):
+                              interpret: bool = False, top_k: int | None = None,
+                              fuse_crossh: bool | None = None):
     """H|psi> on BlockVec leaves: fused Pallas pass for hi-local terms + XLA
     for the hi-axis terms. f32 real states only (solvers use real planes on
     TPU); falls back to the XLA apply for anything else.
+
+    fuse_crossh (v2, default env SDTPU_FUSED_CROSSH=1): stream the mid|hi
+    run x run cross terms through the kernel as shifted-row slice adds,
+    shrinking the XLA seed to the W_hi einsum alone (and dropping it
+    entirely for groups without a W_hi table). At L=32 the crossh slabs are
+    ~2.6 N reads + RMW per apply in XLA — about 19 ms of the 17 ms measured
+    roofline gap.
 
     top_k: fuse only the top_k LARGEST groups (default env SDTPU_FUSED_TOPK
     or 32); the tail runs through the XLA blocks path. Every distinct group
@@ -273,10 +345,12 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
         return apply_H_sector_kron(blocks, None, layout, tables)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
-    if top_k is None:
-        import os
+    import os
 
+    if top_k is None:
         top_k = int(os.environ.get("SDTPU_FUSED_TOPK", "32"))
+    if fuse_crossh is None:
+        fuse_crossh = os.environ.get("SDTPU_FUSED_CROSSH", "1") == "1"
     plans = fused_group_plans(layout)
     dev = tables
     if dev is None:
@@ -290,13 +364,14 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
                           sorted(sizes, reverse=True)[:top_k])
     tail = frozenset(range(len(layout.groups))) - fused_set
 
-    # hi-axis terms (W_hi + mid|hi cross) via the XLA blocks path. For the
-    # FUSED groups the seed is computed per group (group_filter singleton) so
-    # XLA can free each seed right after its pallas_call consumes it — one
-    # full-vector seed BlockVec alongside psi+outs OOMs a 16 GB chip at L=32.
-    def hi_for(gi):
+    # hi-axis terms via the XLA blocks path. For the FUSED groups the seed is
+    # computed per group (group_filter singleton) so XLA can free each seed
+    # right after its pallas_call consumes it — one full-vector seed BlockVec
+    # alongside psi+outs OOMs a 16 GB chip at L=32. With fuse_crossh the seed
+    # shrinks to the W_hi einsum ("hi"); crossh streams through the kernel.
+    def hi_for(gi, seed_terms):
         return apply_H_sector_kron(list(blocks), None, layout, dev,
-                                   terms="hi,crossh",
+                                   terms=seed_terms,
                                    group_filter=(gi,))[gi]
 
     # tail groups (small, ~8% of N at the default top_k): batch both passes
@@ -315,12 +390,27 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
         if gi in tail:
             outs.append(tail_out[gi] + hi_tail[gi])
             continue
-        args = [blocks[gi], hi_for(gi)]
+        v2 = fuse_crossh and plan.crossh_fusable
+        if v2:
+            has_seed = k_h in layout.W[2]
+            seed_terms = "hi"
+        else:
+            has_seed = True
+            seed_terms = "hi,crossh"
+        args = [blocks[gi]]
+        if has_seed:
+            args.append(hi_for(gi, seed_terms))
         cross_shapes = []
         for (g_src, r0, c0, ln, val, A) in plan.cross:
             (_, _, _, chs, _, _, cmps, clps) = layout.groups[g_src]
             args.append(blocks[g_src])
             cross_shapes.append((cmps, clps, r0, c0, ln, val))
+        crossh_shapes = []
+        if v2:
+            for (g_src, rb0, cb0, lnb, mids) in plan.crossh:
+                (_, _, _, chs, _, _, cmps, clps) = layout.groups[g_src]
+                args.append(blocks[g_src])
+                crossh_shapes.append((chs, cmps, clps, rb0, cb0, lnb, mids))
         has = (plan.D1 is not None, plan.D2 is not None,
                plan.D3 is not None, plan.W_lo is not None,
                plan.W_mid_T is not None)
@@ -334,7 +424,9 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
                  plan.W_mid_T is not None and _bf16_exact(plan.W_mid_T),
                  tuple(_bf16_exact(A) for (*_x, A) in plan.cross))
         call = _build_group_call((ch, cmp, clp), has, tuple(cross_shapes),
-                                 interpret, exact)
+                                 interpret, exact,
+                                 crossh_shapes=tuple(crossh_shapes),
+                                 has_seed=has_seed)
         outs.append(call(*args))
 
     # rare unsupported local terms -> XLA addendum (fused groups only; the

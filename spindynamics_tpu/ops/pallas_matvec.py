@@ -1,4 +1,18 @@
-"""Pallas TPU kernel: fused blocked matvec (single pass over HBM).
+"""Pallas TPU kernels: fused blocked matvec (single pass over HBM).
+
+Two kernels:
+
+- `apply_H_pallas` — one [T, W] tile per grid step; every block-space bond
+  reads one partner tile. Traffic per tile: (2 + n_special) reads + 1 write.
+- the GROUPED kernel (`group_bits=k`, v2) — one [G*T, W] super-block per grid
+  step (G = 2^k consecutive tiles). The k lowest block bits become INTERNAL:
+  their bonds turn into in-VMEM chunk adds (g_src = g_dst ^ c_lo, static per
+  chunk, mask often statically zero), so only bonds reaching the remaining
+  B2 bits read partners. The diagonal is FACTORED (d_wt[T, W] table +
+  per-space vectors + in-kernel bit scalars — same trick as the sector_kron
+  kernel's 2-D diagonal factors) instead of read as an N-sized array.
+  Traffic per super-block: (1 + n_ext) reads + 1 write — at L=26/28 that is
+  ~14 passes -> ~11, the measured 0.59-0.62 roofline gap (VERDICT r2 item 6).
 
 The XLA blocked backend (ops/blocked.py) issues one accumulation pass per
 "special" (block-space) bond, so H|psi> costs ~2 + 2*n_special memory passes.

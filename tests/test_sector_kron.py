@@ -214,7 +214,8 @@ def test_default_splits():
 
 class TestFusedKron:
     @pytest.mark.parametrize("L", [12, 14])
-    def test_fused_matches_x64_oracle(self, L):
+    @pytest.mark.parametrize("fuse_crossh", [False, True])
+    def test_fused_matches_x64_oracle(self, L, fuse_crossh):
         import spindynamics_tpu as sd
         from spindynamics_tpu.ops.pallas_kron import apply_H_sector_kron_fused
         from spindynamics_tpu.ops.sector_kron import (
@@ -230,7 +231,9 @@ class TestFusedKron:
         x64 = jnp.where(m.valid_mask(), x64, 0.0)
         y64 = apply_H_sector_kron(x64, None, lay)
         blocks = flat_to_blocks(x64.astype(jnp.float32), lay)
-        y32 = blocks_to_flat(apply_H_sector_kron_fused(blocks, lay), lay)
+        y32 = blocks_to_flat(
+            apply_H_sector_kron_fused(blocks, lay, fuse_crossh=fuse_crossh),
+            lay)
         scale = float(jnp.max(jnp.abs(y64)))
         err = float(jnp.max(jnp.abs(y32.astype(jnp.float64) - y64)))
         assert err < 5e-6 * scale
