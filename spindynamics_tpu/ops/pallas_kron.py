@@ -311,6 +311,20 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
         in_specs.append(pl.BlockSpec((clp_s, clp), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
+    # Scoped-VMEM budget: Mosaic's default 16 MB limit is a conservative
+    # compiler default, not the v5e's physical VMEM (128 MB). Large groups
+    # with streamed crossh sources (e.g. L=32's [252, 464, 512] group: ~16.4
+    # MB with double buffering) exceed it — size the limit from the actual
+    # block footprint instead.
+    blk_bytes = 0
+    for spec in in_specs:
+        n = 1
+        for d in spec.block_shape:
+            n *= int(d)
+        blk_bytes += 4 * n
+    blk_bytes += 4 * cmp * clp  # out block
+    vmem_limit = min(max(2 * blk_bytes + (1 << 20), 16 * 2**20), 100 * 2**20)
+
     return pl.pallas_call(
         kernel,
         grid=(ch,),
@@ -318,6 +332,7 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
         out_specs=pl.BlockSpec((1, cmp, clp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ch, cmp, clp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )
 

@@ -21,7 +21,11 @@ def test_pallas_matches_dense(L, w, t, rng):
     got = np.asarray(
         apply_H_pallas(jnp.asarray(psi, jnp.float32), m, plan, interpret=True)
     )
-    assert np.abs(got - want).max() < 1e-4  # f32 kernel vs f64 oracle
+    # split-2/split-3 in-kernel dots are f32-grade (~2^-17 per bf16 half, a
+    # few products deep => ~1e-5 rel), NOT bf16-grade (2.4e-3): assert well
+    # below the bf16 truncation floor
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 3e-5 * scale
 
 
 def test_pallas_complex(rng):
