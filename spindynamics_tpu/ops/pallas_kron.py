@@ -182,7 +182,24 @@ def _dot_split2(state, table, exact, flip=False):
     representation error ~2^-17 rel), table exact — which is both MORE
     accurate and one pass CHEAPER than HIGH. Non-exact tables fall back to
     precision='highest' (full f32, supported by Mosaic). flip=True computes
-    table @ state instead of state @ table."""
+    table @ state instead of state @ table.
+
+    bf16 STATES (the opt-in half-traffic amplitude mode) skip the state
+    split — the state carries only bf16 information: exact tables need one
+    MXU pass, non-exact tables a 2-pass table split. Accumulation is always
+    f32 (preferred_element_type)."""
+    if state.dtype == jnp.bfloat16:
+        if exact:
+            t_bf = table.astype(jnp.bfloat16)
+            a, b = (t_bf, state) if flip else (state, t_bf)
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        t_hi = table.astype(jnp.bfloat16)
+        t_lo = (table - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        if flip:
+            return (jnp.dot(t_hi, state, preferred_element_type=jnp.float32)
+                    + jnp.dot(t_lo, state, preferred_element_type=jnp.float32))
+        return (jnp.dot(state, t_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(state, t_lo, preferred_element_type=jnp.float32))
     if not exact:
         a, b = (table, state) if flip else (state, table)
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
@@ -198,7 +215,8 @@ def _dot_split2(state, table, exact, flip=False):
 
 
 def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
-                      crossh_shapes=(), has_seed=True):
+                      crossh_shapes=(), has_seed=True,
+                      state_dtype=jnp.float32):
     """Return a pallas_call for one group structure.
 
     shape_key = (ch, cmp, clp); has = (D1?, D2?, D3?, W_lo?, W_mid?);
@@ -217,8 +235,15 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
     e_wlo, e_wmid, e_cross = exact
     n_cross = len(cross_shapes)
     n_crossh = len(crossh_shapes)
+    # bf16 states accumulate into an f32 VMEM scratch: arbitrary-offset
+    # sublane RMW on a (16,128)-tiled bf16 out ref is Mosaic-hostile, and
+    # per-slice bf16 rounding would stack. One final cast writes out.
+    bf16_state = jnp.dtype(state_dtype) == jnp.bfloat16
 
     def kernel(*refs):
+        if bf16_state:
+            scratch = refs[-1]
+            refs = refs[:-1]
         i = 0
         t_own = refs[i]; i += 1
         if has_seed:
@@ -232,10 +257,14 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
         wmidT = refs[i] if hWmid else None; i += hWmid
         a_refs = refs[i: i + n_cross]; i += n_cross
         out = refs[i]
+        acc_ref = scratch if bf16_state else out
 
         T = t_own[0]  # [cmp, clp]
         gidx = pl.program_id(0)
-        acc = seed[0] if has_seed else jnp.zeros((cmp, clp), jnp.float32)
+        if has_seed:
+            acc = seed[0].astype(jnp.float32)
+        else:
+            acc = jnp.zeros((cmp, clp), jnp.float32)
         if d1 is not None:
             d = d1[:]
             if d2 is not None:
@@ -254,16 +283,26 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
             acc = acc + _dot_split2(T, wlo[:], e_wlo)
         if wmidT is not None:
             acc = acc + _dot_split2(T, wmidT[:], e_wmid, flip=True)
-        out[0] = acc
+        if bf16_state:
+            acc_ref[...] = acc
+        else:
+            acc_ref[0] = acc
         # cross slabs land on sub-ranges of the mid axis; Mosaic lowers
         # neither scatter-add nor value dynamic_update_slice, so accumulate
-        # by read-modify-write on the OUTPUT ref with static slices
+        # by read-modify-write on the acc ref with static slices
+
+        def rmw(c0, ln, X):
+            if bf16_state:
+                acc_ref[c0:c0 + ln, :] = acc_ref[c0:c0 + ln, :] + X
+            else:
+                acc_ref[0, c0:c0 + ln, :] = acc_ref[0, c0:c0 + ln, :] + X
+
         for (t_src, a_ref, ecr, (cmp_s, clp_s, r0, c0, ln, val)) in zip(
                 t_srcs, a_refs, e_cross, cross_shapes):
             X = _dot_split2(t_src[0, r0:r0 + ln, :], a_ref[:], ecr)
             if val != 1.0:
                 X = jnp.float32(val) * X
-            out[0, c0:c0 + ln, :] = out[0, c0:c0 + ln, :] + X
+            rmw(c0, ln, X)
         # hi-axis cross (v2): shifted source row, mask rows outside the hi
         # run (the BlockSpec clamps out-of-range DMAs to a real row whose
         # values the mask zeroes), then 1-2 static mid-slice adds (VPU)
@@ -273,9 +312,11 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
             msk = in_run.astype(jnp.float32)
             src = th[0]
             for (ra0, ca0, lna, val) in mids:
-                out[0, ca0:ca0 + lna, :] = (
-                    out[0, ca0:ca0 + lna, :]
-                    + (jnp.float32(val) * msk) * src[ra0:ra0 + lna, :])
+                rmw(ca0, lna,
+                    (jnp.float32(val) * msk)
+                    * src[ra0:ra0 + lna, :].astype(jnp.float32))
+        if bf16_state:
+            out[0] = acc_ref[...].astype(state_dtype)
 
     in_specs = [pl.BlockSpec((1, cmp, clp), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)]
@@ -323,6 +364,8 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
             n *= int(d)
         blk_bytes += 4 * n
     blk_bytes += 4 * cmp * clp  # out block
+    if bf16_state:
+        blk_bytes += 4 * cmp * clp  # f32 accumulation scratch
     vmem_limit = min(max(2 * blk_bytes + (1 << 20), 16 * 2**20), 100 * 2**20)
 
     return pl.pallas_call(
@@ -331,7 +374,9 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, cmp, clp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ch, cmp, clp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ch, cmp, clp), state_dtype),
+        scratch_shapes=(
+            [pltpu.VMEM((cmp, clp), jnp.float32)] if bf16_state else []),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )
@@ -356,7 +401,9 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
     is a distinct Mosaic module and the remote compiler pays ~30-60 s each —
     the top 32 groups carry ~92% of N at L=32, bounding first-compile time
     while keeping nearly all of the fusion win."""
-    if jnp.iscomplexobj(blocks[0]) or blocks[0].dtype != jnp.float32:
+    state_dtype = blocks[0].dtype
+    if jnp.iscomplexobj(blocks[0]) or state_dtype not in (jnp.float32,
+                                                          jnp.bfloat16):
         return apply_H_sector_kron(blocks, None, layout, tables)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
@@ -385,9 +432,11 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
     # alongside psi+outs OOMs a 16 GB chip at L=32. With fuse_crossh the seed
     # shrinks to the W_hi einsum ("hi"); crossh streams through the kernel.
     def hi_for(gi, seed_terms):
+        # the XLA path accumulates in f32 (einsum promotion); cast back so
+        # bf16-mode seeds stay half-width on their HBM round trip
         return apply_H_sector_kron(list(blocks), None, layout, dev,
                                    terms=seed_terms,
-                                   group_filter=(gi,))[gi]
+                                   group_filter=(gi,))[gi].astype(state_dtype)
 
     # tail groups (small, ~8% of N at the default top_k): batch both passes
     hi_tail = (apply_H_sector_kron(list(blocks), None, layout, dev,
@@ -403,7 +452,7 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
                                                            layout.groups):
         gi = plan.gi
         if gi in tail:
-            outs.append(tail_out[gi] + hi_tail[gi])
+            outs.append((tail_out[gi] + hi_tail[gi]).astype(state_dtype))
             continue
         v2 = fuse_crossh and plan.crossh_fusable
         if v2:
@@ -441,7 +490,7 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
         call = _build_group_call((ch, cmp, clp), has, tuple(cross_shapes),
                                  interpret, exact,
                                  crossh_shapes=tuple(crossh_shapes),
-                                 has_seed=has_seed)
+                                 has_seed=has_seed, state_dtype=state_dtype)
         outs.append(call(*args))
 
     # rare unsupported local terms -> XLA addendum (fused groups only; the
@@ -449,7 +498,8 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
     if any(plan.unsupported for plan in plans if plan.gi in fused_set):
         extra = _xla_unsupported(blocks, layout, dev,
                                  [p for p in plans if p.gi in fused_set])
-        outs = [o + e if e is not None else o for o, e in zip(outs, extra)]
+        outs = [o + e.astype(o.dtype) if e is not None else o
+                for o, e in zip(outs, extra)]
     return outs
 
 

@@ -238,6 +238,37 @@ class TestFusedKron:
         err = float(jnp.max(jnp.abs(y32.astype(jnp.float64) - y64)))
         assert err < 5e-6 * scale
 
+    def test_fused_bf16_amplitudes(self):
+        """Opt-in bf16 state mode (VERDICT r2 item 8): half-traffic amplitude
+        storage with f32 in-kernel accumulation. Accuracy class = one bf16
+        rounding of the state per apply (~4e-3 rel), NOT the garbage class of
+        bf16 accumulation."""
+        import spindynamics_tpu as sd
+        from spindynamics_tpu.ops.pallas_kron import apply_H_sector_kron_fused
+        from spindynamics_tpu.ops.sector_kron import (
+            apply_H_sector_kron, blocks_to_flat, flat_to_blocks,
+            make_sector_kron_layout)
+
+        L = 12
+        m = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, h=np.linspace(-0.2, 0.3, L),
+                         nup=L // 2, dtype=jnp.float64, layout="sector_kron")
+        lay = make_sector_kron_layout(m, m.kron_splits)
+        rng = np.random.default_rng(0)
+        x64 = jnp.asarray(rng.standard_normal(lay.n_states))
+        x64 = jnp.where(m.valid_mask(), x64, 0.0)
+        y64 = apply_H_sector_kron(x64, None, lay)
+        blocks = flat_to_blocks(x64.astype(jnp.float32), lay)
+        bblocks = [b.astype(jnp.bfloat16) for b in blocks]
+        out = apply_H_sector_kron_fused(bblocks, lay)
+        assert all(b.dtype == jnp.bfloat16 for b in out)
+        ybf = blocks_to_flat([b.astype(jnp.float32) for b in out], lay)
+        scale = float(jnp.max(jnp.abs(y64)))
+        err = float(jnp.max(jnp.abs(ybf.astype(jnp.float64) - y64)))
+        assert err < 3e-2 * scale  # bf16 state rounding, not accumulation
+        # and far better than bf16-accumulated would be at this L: the f32
+        # scratch keeps the per-element error to a few input roundings
+        assert err > 1e-7 * scale  # sanity: it IS the bf16 class
+
     def test_groundstate_kron_runner(self):
         import spindynamics_tpu as sd
 
