@@ -81,6 +81,12 @@ def bench_sector_kron(L, reps, hbm_bw, f32_tflops):
     tables = jax.tree_util.tree_map(jnp.asarray, sector_kron_tables(lay))
     N_pad = lay.n_states
     nnz = lay.n_basis * (1.0 + len(model.hop_sites) / 2.0)
+    # BENCH_DTYPE=bf16: the opt-in half-traffic amplitude mode (states stream
+    # bf16, f32 in-kernel accumulation — ops/pallas_kron). The roofline
+    # denominator uses the true 2-byte traffic; flops are unchanged.
+    state_dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16"
+                   else jnp.float32)
+    itemsize = jnp.dtype(state_dtype).itemsize
 
     # BlockVec (per-group rank-3) state: full native (8,128) tiles — the flat
     # view's q<8 sublane padding doubles every HBM pass (solvers/blockvec).
@@ -106,15 +112,17 @@ def bench_sector_kron(L, reps, hbm_bw, f32_tflops):
             return w * jnp.float32(1.0 / 30.0), None
 
         v, _ = jax.lax.scan(body, psi, None, length=rep)
-        return sum(jnp.sum(b) for b in v.leaves)
+        return sum(jnp.sum(b.astype(jnp.float32)) for b in v.leaves)
 
     psi0 = bv_random(lay, jax.random.PRNGKey(0), jnp.float32)
     nrm0 = float(jnp.sqrt(sum(float(jnp.vdot(b, b).real) for b in psi0.leaves)))
-    psi = psi0 * (1.0 / nrm0)
+    psi = (psi0 * (1.0 / nrm0)).astype(state_dtype)
     per_apply = _slope_time(chain, (psi, tables), 2, reps)
-    t_light = max(2.0 * N_pad * 4 / hbm_bw, kron_apply_flops(lay) / f32_tflops)
+    t_light = max(2.0 * N_pad * itemsize / hbm_bw,
+                  kron_apply_flops(lay) / f32_tflops)
+    suffix = "_bf16" if itemsize == 2 else ""
     return {
-        "metric": f"spmv_nnz_per_s_L{L}_Sz0_sector_kron",
+        "metric": f"spmv_nnz_per_s_L{L}_Sz0_sector_kron{suffix}",
         "value": round(nnz / per_apply, 3),
         "unit": "nnz/s",
         "vs_baseline": round(t_light / per_apply, 4),
