@@ -53,11 +53,11 @@ def _default_compensated(dtype) -> bool:
 
 
 def _vdot_c(x, y, compensated):
-    if compensated:
-        from ..utils.compensated import vdot2
+    # BlockVec (and bf16-upcast) dispatch shared with the Lanczos solvers —
+    # KPM moment scans run on BlockVec kron states unchanged.
+    from .lanczos import _inner_c
 
-        return vdot2(x, y)
-    return jnp.vdot(x, y)
+    return _inner_c(x, y, compensated)
 
 
 @partial(jax.jit, static_argnums=(0, 2, 4))

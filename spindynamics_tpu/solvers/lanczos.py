@@ -68,6 +68,12 @@ def _inner_c(x, y, compensated):
     if isinstance(x, BlockVec):
         return sum(_inner_c(a, b, compensated)
                    for a, b in zip(x.leaves, y.leaves))
+    if x.dtype == jnp.bfloat16:
+        # bf16 amplitude mode: dots upcast to f32 (XLA fuses the cast into
+        # the read pass — traffic stays half-width). Dekker splitting and
+        # bf16 accumulation are both wrong at 8 mantissa bits.
+        x = x.astype(jnp.float32)
+        y = y.astype(jnp.float32)
     if compensated:
         from ..utils.compensated import vdot2
 
