@@ -360,6 +360,12 @@ def _make_bucketed_finalize(layout, tables, n_buckets: int = 4):
     def finalize(matvec, psi_unnorm):
         del matvec
         leaves = list(psi_unnorm.leaves)
+        del psi_unnorm
+        # barrier: let the second-pass scan finish and its intermediates
+        # free before dispatching anything new — async dispatch otherwise
+        # overlaps the scan's peak working set with the finalize temps,
+        # which is what OOMed the first L=32 attempts (3 GB/vector).
+        jax.block_until_ready(leaves[0])
         nrm = jnp.sqrt(jnp.maximum(_nrm2(leaves), 0.0))
         leaves = _scale(leaves, 1.0 / nrm)
         E = sum(_e_part(leaves, b, tables) for b in buckets)
