@@ -23,6 +23,19 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 import pytest
 
+# Build the optional native lib once per session if a toolchain is present,
+# so test_native.py runs on fresh checkouts instead of skipping (the .so is
+# gitignored build output). Failure is fine — those tests skip gracefully.
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if not os.path.exists(os.path.join(_repo, "csrc", "libspindyn.so")):
+    import subprocess
+
+    try:
+        subprocess.run(["make", "-C", os.path.join(_repo, "csrc")],
+                       capture_output=True, timeout=120, check=False)
+    except Exception:
+        pass
+
 
 @pytest.fixture
 def rng():
