@@ -93,6 +93,7 @@ from .solvers.runners import (
     evolve_trajectory,
     evolve_trajectory_planes,
     groundstate_kron,
+    kpm_sqw_kron,
     lanczos_groundstate_checkpointed,
     run_chebyshev,
     run_krylov,

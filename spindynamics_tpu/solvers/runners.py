@@ -28,7 +28,7 @@ from .lanczos import estimate_energy_bounds
 
 __all__ = ["run_chebyshev", "run_krylov", "evolve_trajectory",
            "evolve_trajectory_planes", "lanczos_groundstate_checkpointed",
-           "groundstate_kron"]
+           "groundstate_kron", "kpm_sqw_kron"]
 
 
 def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
@@ -313,6 +313,122 @@ def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
         mv, None, lanc_m=lanc_m, cycles=cycles, dtype=dtype,
         target_residual=target_residual, v0=v0, finalize=finalize)
     return E0, psi, info, lay
+
+
+def kpm_sqw_kron(model, q_list, omega, kpm_m: int = 100, lanc_m: int = 40,
+                 cycles: int = 6, target_residual: float | None = 1e-3,
+                 kernel: str = "jackson", key=None, bounds_m: int = 40,
+                 doubling_trick: bool = True, fused: bool = True,
+                 psi0=None, E0=None, info=None, safety: float = 0.01,
+                 bounds=None):
+    """T=0 dynamic structure factor S(q, omega) at kron BlockVec scale.
+
+    The reference's largest S(q, omega) demo is L=20
+    (examples/example_kpmSqw.jl:11-15,44; kpm_sqw at src/KPM_Sqw.jl:172); this
+    runs L=28-30 sectors on ONE chip: ground state via groundstate_kron
+    (restarted two-pass Lanczos), phi_q = S^z_q |psi0> held as (re, im) REAL
+    plane BlockVecs (zero complex dtypes anywhere — relay-safe), and diagonal
+    Chebyshev moments per plane through the fused Pallas kernel. T_n(H~) is
+    real symmetric, so <phi|T_n|phi> = <re|T_n re> + <im|T_n im> — the plane
+    moments just add. Normalization mirrors kpm_sqw/kpm_sqw_planes (phi
+    normalized; rows with ||phi|| = 0 zeroed). Evaluated at EXCITATION
+    energies via the E0 shift (see solvers/kpm.kpm_sqw docstring).
+
+    Memory: one flat copy of psi0 plus 2 plane BlockVecs + the scan's 3
+    live vectors — q-points run serially, so peak is ~6 vectors regardless
+    of len(q_list) (vmapping q at L=30 would OOM the chip).
+
+    Returns (S [nq, n_omega] numpy, info dict with E0/residual/bounds)."""
+    from ..ops.sector_kron import blocks_to_flat, flat_to_blocks
+    from .blockvec import BlockVec
+    from .chebyshev import chebyshev_moments, kpm_reconstruct
+    from .lanczos import lanczos_iteration, tridiag_eigh
+
+    if psi0 is None or E0 is None:
+        E0, psi0, info, lay = groundstate_kron(
+            model, lanc_m=lanc_m, cycles=cycles,
+            target_residual=target_residual, key=key, fused=fused)
+    else:
+        from ..ops.sector_kron import make_sector_kron_layout
+
+        lay = make_sector_kron_layout(model, model.kron_splits,
+                                      model.kron_pads)
+    info = dict(info or {})
+    tables = None  # closures below rebuild device tables once via matvec
+
+    if fused:
+        from ..ops.pallas_kron import apply_H_sector_kron_fused
+        from ..ops.sector_kron import _device_tables
+
+        tables = jax.tree_util.tree_map(jnp.asarray, _device_tables(lay))
+
+        def mv(bv):
+            return BlockVec(apply_H_sector_kron_fused(bv.leaves, lay, tables))
+    else:
+        from .blockvec import bv_matvec_fn
+
+        mv = bv_matvec_fn(lay)
+
+    # spectral bounds: Emin = E0 (exact to the GS residual); Emax from one
+    # basis-free Lanczos run on the SAME BlockVec matvec, expanded outward
+    # (estimate_energy_bounds rationale — Chebyshev diverges outside [-1,1])
+    from .blockvec import bv_random
+
+    if bounds is None:
+        fac = lanczos_iteration(
+            mv, bv_random(lay, jax.random.PRNGKey(7), jnp.float32), bounds_m)
+        evals, _ = tridiag_eigh(fac.alphas, fac.betas, fac.m_eff)
+        lo, hi = min(float(evals.min()), float(E0)), float(evals.max())
+        pad = safety * 0.5 * (hi - lo) + 1e-6
+    else:
+        (lo, hi), pad = bounds, 0.0
+    a = (hi - lo + 2 * pad) / 2.0
+    b = (hi + lo) / 2.0
+    a_inv = jnp.float32(1.0 / a)
+    bb = jnp.float32(b)
+
+    def mvr(bv):
+        return (mv(bv) - bb * bv) * a_inv
+
+    flat = blocks_to_flat(psi0.leaves, lay).astype(jnp.float32)
+    states = model.basis_states()
+    L = model.L
+
+    S_rows, n2s = [], []
+    for q in q_list:
+        wr = jnp.zeros(lay.n_states, jnp.float32)
+        wi = jnp.zeros(lay.n_states, jnp.float32)
+        for site in range(L):
+            sz = ((states >> np.uint32(site)) & 1).astype(jnp.float32) - 0.5
+            wr = wr + np.float32(np.cos(q * site)) * sz
+            wi = wi + np.float32(np.sin(q * site)) * sz
+        s = np.float32(1.0 / np.sqrt(L))
+        phi_r = flat_to_blocks(wr * flat * s, lay)
+        phi_i = flat_to_blocks(wi * flat * s, lay)
+        del wr, wi
+        n2 = (sum(float(jnp.vdot(x, x)) for x in phi_r)
+              + sum(float(jnp.vdot(x, x)) for x in phi_i))
+        n2s.append(n2)
+        if n2 <= 0.0:
+            S_rows.append(np.zeros(kpm_m, np.float32))  # placeholder row
+            continue
+        inv = jnp.float32(1.0 / np.sqrt(n2))
+        mu = (chebyshev_moments(mvr, BlockVec(phi_r) * inv, kpm_m,
+                                doubling_trick=doubling_trick)
+              + chebyshev_moments(mvr, BlockVec(phi_i) * inv, kpm_m,
+                                  doubling_trick=doubling_trick))
+        S_rows.append(np.asarray(mu, np.float32))
+
+    om = np.asarray(omega, np.float64) + float(E0)
+    S = np.zeros((len(q_list), len(np.atleast_1d(omega))), np.float32)
+    for i, (mu_row, n2) in enumerate(zip(S_rows, n2s)):
+        if n2 <= 0.0:
+            continue
+        S[i] = np.asarray(kpm_reconstruct(
+            jnp.asarray(mu_row), jnp.asarray(om), a, b, kernel=kernel,
+            doubling=True, density_2_over_a=False))
+    info.update(E0=float(E0), bounds=(lo - pad, hi + pad), a=a, b=b)
+    return S, info
 
 
 def _make_bucketed_finalize(layout, tables, n_buckets: int = 4):

@@ -330,3 +330,33 @@ class TestBf16Physics:
         dbf = np.asarray(kpm_reconstruct(jnp.asarray(mubf, np.float32),
                                          jnp.asarray(x), a, b))
         assert np.abs(d32 - dbf).max() < 5e-3 * max(1.0, np.abs(d32).max())
+
+
+class TestKpmSqwKron:
+    def test_matches_planes_path(self):
+        """kpm_sqw_kron (BlockVec moments through the fused kernel) vs the
+        flat planes path (solvers/planes.kpm_sqw_planes) on the same model,
+        ground state and bounds — the spectra must agree to f32 recurrence
+        tolerance. Parity target: kpm_sqw, ref src/KPM_Sqw.jl:172."""
+        import spindynamics_tpu as sd
+        from spindynamics_tpu.ops.sector_kron import blocks_to_flat
+        from spindynamics_tpu.solvers.planes import kpm_sqw_planes
+
+        L, M = 10, 32
+        m = sd.xxz_chain(L, Jxy=1.0, Jz=1.0, nup=L // 2, dtype=jnp.float32,
+                         layout="sector_kron")
+        E0, psi_bv, info, lay = sd.groundstate_kron(
+            m, lanc_m=30, cycles=4, target_residual=1e-5)
+        qs = [2 * np.pi * k / L for k in range(1, 4)]
+        omega = np.linspace(0.0, 4.0, 40)
+        lo, hi = -8.0, 8.0
+        S_kron, inf = sd.kpm_sqw_kron(
+            m, qs, omega, kpm_m=M, psi0=psi_bv, E0=E0, info=info,
+            bounds=(lo, hi))
+        flat = blocks_to_flat(psi_bv.leaves, lay)
+        planes = jnp.stack([flat, jnp.zeros_like(flat)])
+        a, b = (hi - lo) / 2.0, (hi + lo) / 2.0
+        S_pl = kpm_sqw_planes(planes, m, qs, omega, a, b, kpm_m=M, E0=E0)
+        scale = max(float(np.abs(S_pl).max()), 1e-9)
+        assert np.abs(np.asarray(S_kron) - np.asarray(S_pl)).max() < 2e-3 * scale
+        assert np.all(np.isfinite(S_kron)) and S_kron.min() >= 0.0
