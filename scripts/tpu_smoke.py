@@ -29,6 +29,13 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 def main():
     import jax
 
+    cache = os.environ.get("BENCH_CACHE_DIR", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     results = {"ts": time.time(), "backend": jax.default_backend(),
                "device": str(jax.devices()[0])}
 

@@ -384,7 +384,7 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
 
 def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
                               interpret: bool = False, top_k: int | None = None,
-                              fuse_crossh: bool | None = None):
+                              fuse_crossh: bool | None = None, axpy=None):
     """H|psi> on BlockVec leaves: fused Pallas pass for hi-local terms + XLA
     for the hi-axis terms. f32 real states only (solvers use real planes on
     TPU); falls back to the XLA apply for anything else.
@@ -400,11 +400,21 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
     or 32); the tail runs through the XLA blocks path. Every distinct group
     is a distinct Mosaic module and the remote compiler pays ~30-60 s each —
     the top 32 groups carry ~92% of N at L=32, bounding first-compile time
-    while keeping nearly all of the fusion win."""
+    while keeping nearly all of the fusion win.
+
+    axpy=(s, blocks0): return H psi + s * psi0 with the axpy folded into each
+    group's kernel SEED — per-group, so psi0's leaves die as they are
+    consumed. The Lanczos recurrence w = H v_j - beta_j v_{j-1} then peaks at
+    ~3 live N-vectors instead of 4, which is the difference between fitting
+    and OOMing the L=32 two-pass ground state on one 16 GB chip."""
     state_dtype = blocks[0].dtype
     if jnp.iscomplexobj(blocks[0]) or state_dtype not in (jnp.float32,
                                                           jnp.bfloat16):
-        return apply_H_sector_kron(blocks, None, layout, tables)
+        outs = apply_H_sector_kron(blocks, None, layout, tables)
+        if axpy is not None:
+            s, b0 = axpy
+            outs = [o + (s * x).astype(o.dtype) for o, x in zip(outs, b0)]
+        return outs
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
     import os
@@ -452,7 +462,10 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
                                                            layout.groups):
         gi = plan.gi
         if gi in tail:
-            outs.append((tail_out[gi] + hi_tail[gi]).astype(state_dtype))
+            t = tail_out[gi] + hi_tail[gi]
+            if axpy is not None:
+                t = t + axpy[0] * axpy[1][gi]
+            outs.append(t.astype(state_dtype))
             continue
         v2 = fuse_crossh and plan.crossh_fusable
         if v2:
@@ -462,7 +475,17 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
             has_seed = True
             seed_terms = "hi,crossh"
         args = [blocks[gi]]
-        if has_seed:
+        if axpy is not None:
+            # fold s * psi0[gi] into the seed (XLA fuses the scale into the
+            # hi einsum's epilogue; for seedless groups it IS the seed)
+            sg = (axpy[0] * axpy[1][gi]).astype(state_dtype)
+            if has_seed:
+                args.append((hi_for(gi, seed_terms).astype(jnp.float32)
+                             + sg.astype(jnp.float32)).astype(state_dtype))
+            else:
+                args.append(sg)
+            has_seed = True
+        elif has_seed:
             args.append(hi_for(gi, seed_terms))
         cross_shapes = []
         for (g_src, r0, c0, ln, val, A) in plan.cross:

@@ -141,12 +141,27 @@ def _lanczos_scan(
         coeffs = (V.conj() @ w) * mask.astype(dtype)
         return w - V.T @ coeffs
 
+    # seeded (axpy) recurrence: w = H v_j - beta_{j-1} v_{j-1} folded into the
+    # matvec's kernel seed, so v_prev dies inside the apply — the second-pass
+    # peak drops from 4 to ~3 live N-vectors (fits L=32 on one chip). alpha is
+    # then <v_j|w> = <v|Hv> - beta <v|v_prev> — identical up to the f32
+    # orthogonality floor, the standard Lanczos form. Both passes must take
+    # the SAME branch so the recurrence reproduces bit-identically.
+    axpy_ok = (getattr(matvec, "supports_axpy", False)
+               and not use_buffer and not selective and not store_basis)
+
     def step(carry, j):
         (v_prev, v_curr, beta_prev, active, last_alpha, V,
          om_prev, om_curr, a_hist, b_hist) = carry
-        w = matvec(v_curr)
-        alpha = jnp.real(_inner_c(v_curr, w, compensated)).astype(rdtype)
-        w = w - alpha.astype(dtype) * v_curr - beta_prev.astype(dtype) * v_prev
+        if axpy_ok:
+            w = matvec(v_curr, (-beta_prev).astype(dtype), v_prev)
+            alpha = jnp.real(_inner_c(v_curr, w, compensated)).astype(rdtype)
+            w = w - alpha.astype(dtype) * v_curr
+        else:
+            w = matvec(v_curr)
+            alpha = jnp.real(_inner_c(v_curr, w, compensated)).astype(rdtype)
+            w = (w - alpha.astype(dtype) * v_curr
+                 - beta_prev.astype(dtype) * v_prev)
         if full_reorth:
             w = _project_out(V, w, j)
         beta = _norm_c(w, compensated).astype(rdtype)
@@ -634,13 +649,22 @@ def _second_pass_accumulate(matvec, v1, y, m, compensated=False):
     match pass 1 so the recurrence reproduces the basis BIT-IDENTICALLY."""
     dtype = v1.dtype
     rdtype = _real_dtype(dtype)
+    # MUST mirror _lanczos_scan's branch choice bit-for-bit (same carry
+    # arithmetic) — pass 2 re-generates pass 1's basis vectors exactly
+    axpy_ok = getattr(matvec, "supports_axpy", False)
 
     def step(carry, yj):
         v_prev, v_curr, beta_prev, acc = carry
         acc = acc + v_curr * yj.astype(rdtype)
-        w = matvec(v_curr)
-        alpha = jnp.real(_inner_c(v_curr, w, compensated)).astype(rdtype)
-        w = w - alpha.astype(dtype) * v_curr - beta_prev.astype(dtype) * v_prev
+        if axpy_ok:
+            w = matvec(v_curr, (-beta_prev).astype(dtype), v_prev)
+            alpha = jnp.real(_inner_c(v_curr, w, compensated)).astype(rdtype)
+            w = w - alpha.astype(dtype) * v_curr
+        else:
+            w = matvec(v_curr)
+            alpha = jnp.real(_inner_c(v_curr, w, compensated)).astype(rdtype)
+            w = (w - alpha.astype(dtype) * v_curr
+                 - beta_prev.astype(dtype) * v_prev)
         beta = _norm_c(w, compensated).astype(rdtype)
         inv = jnp.where(beta > 0, 1.0 / jnp.maximum(beta, jnp.finfo(rdtype).tiny), 0.0)
         v_next = w * inv.astype(dtype)

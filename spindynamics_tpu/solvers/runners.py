@@ -298,8 +298,14 @@ def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
     if use_fused:
         from ..ops.pallas_kron import apply_H_sector_kron_fused
 
-        def mv(bv):
-            return BlockVec(apply_H_sector_kron_fused(bv.leaves, lay, tables))
+        def mv(bv, s=None, bv0=None):
+            axpy = None if s is None else (s, list(bv0.leaves))
+            return BlockVec(apply_H_sector_kron_fused(bv.leaves, lay, tables,
+                                                      axpy=axpy))
+
+        # Lanczos folds -beta*v_prev into the kernel seed: peak live vectors
+        # 4 -> ~3, the margin that fits L=32 (3 GB/vector) on a 16 GB chip
+        mv.supports_axpy = True
     else:
         from ..ops.sector_kron import apply_H_sector_kron
 

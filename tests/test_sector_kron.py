@@ -360,3 +360,47 @@ class TestKpmSqwKron:
         scale = max(float(np.abs(S_pl).max()), 1e-9)
         assert np.abs(np.asarray(S_kron) - np.asarray(S_pl)).max() < 2e-3 * scale
         assert np.all(np.isfinite(S_kron)) and S_kron.min() >= 0.0
+
+
+class TestFusedAxpy:
+    def test_axpy_seed_matches_separate(self):
+        """apply_H_sector_kron_fused(axpy=(s, psi0)) == H psi + s psi0 (the
+        seeded Lanczos recurrence form; memory shape of the L=32 fix)."""
+        import spindynamics_tpu as sd
+        from spindynamics_tpu.ops.pallas_kron import apply_H_sector_kron_fused
+        from spindynamics_tpu.ops.sector_kron import (
+            flat_to_blocks, make_sector_kron_layout)
+
+        L = 12
+        m = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, h=np.linspace(-0.1, 0.2, L),
+                         nup=L // 2, dtype=jnp.float64, layout="sector_kron")
+        lay = make_sector_kron_layout(m, m.kron_splits)
+        rng = np.random.default_rng(5)
+        x = jnp.where(m.valid_mask(),
+                      jnp.asarray(rng.standard_normal(lay.n_states)), 0.0)
+        y0 = jnp.where(m.valid_mask(),
+                       jnp.asarray(rng.standard_normal(lay.n_states)), 0.0)
+        bx = flat_to_blocks(x.astype(jnp.float32), lay)
+        b0 = flat_to_blocks(y0.astype(jnp.float32), lay)
+        s = jnp.float32(-0.37)
+        got = apply_H_sector_kron_fused(bx, lay, axpy=(s, b0))
+        base = apply_H_sector_kron_fused(bx, lay)
+        want = [h + s * z for h, z in zip(base, b0)]
+        scale = max(float(jnp.max(jnp.abs(w))) for w in want)
+        err = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(got, want))
+        assert err < 2e-6 * scale
+
+    def test_groundstate_kron_seeded_recurrence(self):
+        """groundstate_kron (now axpy-seeded) still matches the x64 oracle."""
+        import spindynamics_tpu as sd
+
+        L = 12
+        m = sd.xxz_chain(L, Jxy=1.0, Jz=1.0, nup=L // 2, dtype=jnp.float32,
+                         layout="sector_kron")
+        E0, psi, info, lay = sd.groundstate_kron(
+            m, lanc_m=30, cycles=6, target_residual=1e-4)
+        m64 = sd.xxz_chain(L, Jxy=1.0, Jz=1.0, nup=L // 2, dtype=jnp.float64)
+        E64, _, _ = sd.lanczos_groundstate(sd.matvec_fn(m64), m64.n_states,
+                                           lanc_m=80, dtype=jnp.float64)
+        assert E0 == pytest.approx(E64, abs=2e-4)
+        assert info["residual"] < 1e-4
