@@ -147,7 +147,9 @@ def bench_embedded(L, backend, reps, hbm_bw):
     def chain(psi, model, rep):
         def body(v, _):
             w = sd.apply_H(v, model, backend=backend)
-            return w / jnp.linalg.norm(w), None
+            # constant rescale (no norm passes): the chain measures the PURE
+            # apply, same idiom as the sector_kron chain above
+            return w * jnp.float32(1.0 / 30.0), None
 
         v, _ = jax.lax.scan(body, psi, None, length=rep)
         return jnp.sum(v)
