@@ -158,6 +158,22 @@ def main(argv=None):
             np.savez(args.out, psi=np.asarray(psi), **{k: v for k, v in info.items()
                                                         if np.isscalar(v)})
     elif args.cmd == "sqw":
+        if model.kron_splits is not None and args.method == "kpm":
+            # BlockVec fast path: restarted ground state + per-plane moments
+            # through the fused kernel (runners.kpm_sqw_kron) — the L>=24
+            # single-chip S(q, omega) route
+            q = [2 * np.pi * k / model.L for k in range(model.L)]
+            omega = np.linspace(0.0, args.omega_max, args.n_omega)
+            t0 = time.time()
+            S, sinfo = sd.kpm_sqw_kron(model, q, omega, kpm_m=args.kpm_m,
+                                       lanc_m=min(args.lanc_m, 50))
+            info.update(E0=sinfo["E0"], S_max=float(S.max()),
+                        solve_s=round(time.time() - t0, 2))
+            if args.out:
+                np.savez(args.out, S=S, q=np.asarray(q), omega=omega,
+                         E0=sinfo["E0"])
+            print(json.dumps(info))
+            return
         if model.n_states * args.lanc_m * 8 > 4e9:
             E0, psi0, _ = sd.lanczos_groundstate_restarted(
                 mv, model.n_states, lanc_m=min(args.lanc_m, 50), cycles=4,
