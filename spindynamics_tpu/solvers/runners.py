@@ -400,20 +400,30 @@ def kpm_sqw_kron(model, q_list, omega, kpm_m: int = 100, lanc_m: int = 40,
     states = model.basis_states()
     L = model.L
 
-    S_rows, n2s = [], []
-    for q in q_list:
-        wr = jnp.zeros(lay.n_states, jnp.float32)
-        wi = jnp.zeros(lay.n_states, jnp.float32)
+    @jax.jit
+    def _phi_planes(flat, states, cosr, sinr):
+        """phi = S^z_q psi planes + ||phi||^2 in ONE dispatch (the relay
+        pays ~10-25 ms per call — a per-leaf eager loop costs seconds/q)."""
+        wr = jnp.zeros_like(flat)
+        wi = jnp.zeros_like(flat)
         for site in range(L):
             sz = ((states >> np.uint32(site)) & 1).astype(jnp.float32) - 0.5
-            wr = wr + np.float32(np.cos(q * site)) * sz
-            wi = wi + np.float32(np.sin(q * site)) * sz
+            wr = wr + cosr[site] * sz
+            wi = wi + sinr[site] * sz
         s = np.float32(1.0 / np.sqrt(L))
-        phi_r = flat_to_blocks(wr * flat * s, lay)
-        phi_i = flat_to_blocks(wi * flat * s, lay)
-        del wr, wi
-        n2 = (sum(float(jnp.vdot(x, x)) for x in phi_r)
-              + sum(float(jnp.vdot(x, x)) for x in phi_i))
+        pr = flat_to_blocks(wr * flat * s, lay)
+        pi = flat_to_blocks(wi * flat * s, lay)
+        n2 = (sum(jnp.vdot(x, x) for x in pr)
+              + sum(jnp.vdot(x, x) for x in pi))
+        return pr, pi, n2
+
+    S_rows, n2s = [], []
+    for q in q_list:
+        r = np.arange(L)
+        phi_r, phi_i, n2 = _phi_planes(
+            flat, states, jnp.asarray(np.cos(q * r), jnp.float32),
+            jnp.asarray(np.sin(q * r), jnp.float32))
+        n2 = float(n2)
         n2s.append(n2)
         if n2 <= 0.0:
             S_rows.append(np.zeros(kpm_m, np.float32))  # placeholder row
