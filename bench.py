@@ -87,6 +87,11 @@ def bench_sector_kron(L, reps, hbm_bw, f32_tflops):
     state_dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16"
                    else jnp.float32)
     itemsize = jnp.dtype(state_dtype).itemsize
+    if itemsize == 2:
+        # single-pass bf16xbf16 matmuls: the honest speed-of-light is the
+        # MEASURED bf16-operand rate at the kron shapes (70.0 TFLOP/s on this
+        # v5e, scripts/mxu_calibrate.py --bf16), not the f32-grade 3-pass rate
+        f32_tflops = float(os.environ.get("BENCH_BF16_TFLOPS", 70.0e12))
 
     # BlockVec (per-group rank-3) state: full native (8,128) tiles — the flat
     # view's q<8 sublane padding doubles every HBM pass (solvers/blockvec).
