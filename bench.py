@@ -35,7 +35,8 @@ Line shape:
   fraction is the meaningful denominator.
 
 Env knobs: BENCH_L (headline L, default 32), BENCH_MATRIX (comma list of
-extra Ls, default "28"; empty disables), BENCH_BACKEND (sector_kron|blocked|
+extra points, each "L" for the headline backend or "backend:L", default
+"28,pallas:26"; empty disables), BENCH_BACKEND (sector_kron|blocked|
 tensor|pallas|ell; default sector_kron), BENCH_REPS (default 16),
 BENCH_PLATFORM, BENCH_HBM_BW (default v5e 819e9), BENCH_F32_TFLOPS (default
 35.5e12 = the MEASURED matmul rate at precision=high on this v5e for the
@@ -134,7 +135,26 @@ def bench_sector_kron(L, reps, hbm_bw, f32_tflops):
     }
 
 
-def bench_embedded(L, backend, reps, hbm_bw):
+def embedded_pallas_flops(plan, N):
+    """Logical MXU flops of one fused embedded apply (ops/pallas_matvec).
+
+    The kernel's bit-flips ride one-hot permutation matmuls — the TPU-native
+    idiom (per-element gathers ~1 GB/s, lane flips ~16 GB/s, matmuls ~ memory
+    bandwidth) — so the speed-of-light must include the MXU term, same
+    convention as the sector_kron roofline (logical flops at the f32-grade
+    measured rate). Per block [T, W]: M_cols [T,W]@[W,W], M_rows [T,T]@[T,W],
+    and one T- or W-matmul per special with m_row / m_col set."""
+    T, W = plan.T, plan.W
+    k = W + T  # M_cols + M_rows (always contracted, even if zero)
+    for (_b, m_col, m_row, _m_blk, _i, _j) in plan.special:
+        if m_row:
+            k += T
+        if m_col:
+            k += W
+    return 2.0 * N * k
+
+
+def bench_embedded(L, backend, reps, hbm_bw, f32_tflops):
     import jax
     import jax.numpy as jnp
 
@@ -161,8 +181,17 @@ def bench_embedded(L, backend, reps, hbm_bw):
 
     per_apply = _slope_time(chain, (psi, model), 2, reps)
     nnz = N * (1.0 + len(model.hop_sites) / 2.0)
-    n_special = len(make_blocked_plan(model).special)
-    t_light = (3 + n_special) * N * 4 / hbm_bw
+    plan = make_blocked_plan(model)
+    n_special = len(plan.special)
+    if backend == "pallas":
+        # fused kernel: 1 own read + n_partner partner reads + 1 write, plus
+        # the chain's rescale read+write; MXU = the one-hot flip matmuls
+        # (same max(HBM, flops/f32-grade-rate) convention as sector_kron)
+        n_partner = sum(1 for s in plan.special if s[3] != 0)
+        t_light = max((4 + n_partner) * N * 4 / hbm_bw,
+                      embedded_pallas_flops(plan, N) / f32_tflops)
+    else:
+        t_light = (3 + n_special) * N * 4 / hbm_bw
     return {
         "metric": f"spmv_nnz_per_s_L{L}_Sz0_embedded_{backend}",
         "value": round(nnz / per_apply, 3),
@@ -192,7 +221,9 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "sector_kron")
     default_L = "32" if backend == "sector_kron" else "24"
     L = int(os.environ.get("BENCH_L", default_L))
-    extra = os.environ.get("BENCH_MATRIX", "28" if backend == "sector_kron" else "")
+    # matrix tokens: "28" (same backend) or "pallas:26" (explicit backend)
+    extra = os.environ.get(
+        "BENCH_MATRIX", "28,pallas:26" if backend == "sector_kron" else "")
     reps = int(os.environ.get("BENCH_REPS", "16"))
     hbm_bw = float(os.environ.get("BENCH_HBM_BW", 819e9))  # v5e
     f32_tflops = float(os.environ.get("BENCH_F32_TFLOPS", 35.5e12))
@@ -200,10 +231,12 @@ def main():
     budget = float(os.environ.get("BENCH_TIME_BUDGET", "1200"))
     t_start = time.time()
 
-    def run_one(l):
-        if backend == "sector_kron":
-            return bench_sector_kron(l, reps, hbm_bw, f32_tflops)
-        return bench_embedded(l, backend, reps, hbm_bw)
+    def run_one(tok):
+        be, _, l = str(tok).rpartition(":")
+        be = be or backend
+        if be == "sector_kron":
+            return bench_sector_kron(int(l), reps, hbm_bw, f32_tflops)
+        return bench_embedded(int(l), be, reps, hbm_bw, f32_tflops)
 
     # Headline FIRST, printed the moment it exists — a later timeout cannot
     # lose it (BENCH_r02 lost everything by printing once at the very end).
@@ -217,7 +250,7 @@ def main():
                               "reason": "BENCH_TIME_BUDGET exceeded",
                               **head}), flush=True)
             continue
-        matrix.append(run_one(int(tok)))
+        matrix.append(run_one(tok.strip()))
         # each completed extra point is itself a full valid headline-shaped
         # line (metric/value/unit/vs_baseline), so a kill between points
         # still leaves the last line parseable.
