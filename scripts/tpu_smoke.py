@@ -39,6 +39,14 @@ def main():
     results = {"ts": time.time(), "backend": jax.default_backend(),
                "device": str(jax.devices()[0])}
 
+    def flush():
+        # incremental write: a crash mid-run (relay worker restarts happen)
+        # keeps every completed stage on disk (same contract as bench.py)
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+
+    flush()
+
     # ---- 1. CLI KPM sqw without precomputed bounds -------------------------
     if "--skip-cli" not in sys.argv:
         t0 = time.time()
@@ -57,6 +65,7 @@ def main():
                if isinstance(payload, dict)},
         }
         print("cli:", results["cli_kpm_sqw_L20"], flush=True)
+        flush()
 
     # ---- 2. fused matvec equivalence + slope timing at L=24 ----------------
     import jax.numpy as jnp
@@ -90,6 +99,7 @@ def main():
     results["fused_vs_xla_L24_rel_l2"] = rel
     print(f"fused-vs-xla rel err {rel:.2e} ({time.time()-t0:.0f}s)",
           flush=True)
+    flush()
 
     from functools import partial
 
@@ -116,6 +126,7 @@ def main():
         "flops": kron_apply_flops(lay),
     }
     print("fused L24:", results["fused_L24"], flush=True)
+    flush()
 
     # ---- 3. restarted ground state at L=24 (blocks form) -------------------
     t0 = time.time()
@@ -127,9 +138,9 @@ def main():
         "wall_s": round(time.time() - t0, 1),
     }
     print("gs L24:", results["groundstate_L24"], flush=True)
+    flush()
 
-    with open(OUT, "w") as f:
-        json.dump(results, f, indent=1)
+    flush()
     print("wrote", OUT)
 
 
