@@ -2,16 +2,25 @@
 """Per-round TPU evidence: scripted smoke of the real-chip paths.
 
 Runs (on the default backend — the tunneled TPU under axon):
-  1. CLI KPM S(q, omega) at L=20 Sz=0 WITHOUT precomputed bounds (exercises
-     the backend-safe complex defaults end to end — VERDICT r1 item 6/8).
-  2. sector_kron fused-vs-XLA matvec equivalence + slope timing at L=24.
-  3. A small restarted ground state at L=24 (f32, blocks form).
+  cli    — CLI KPM S(q, omega) at L=20 Sz=0 WITHOUT precomputed bounds
+           (exercises the backend-safe complex defaults end to end).
+  equiv  — sector_kron fused-vs-XLA matvec equivalence at L=24.
+  timing — fused-kernel slope timing at L=28 (the bench-verified geometry;
+           shares bench.py's compile cache entries).
+  gs     — a small restarted ground state at L=24 (f32, blocks form).
 
 Writes docs/TPU_SMOKE.json (committed) so TPU regressions — dtype limits,
 relay quirks, Mosaic changes — surface mechanically instead of via hand-run
 notes (VERDICT r1 weak-7).
 
-Usage: python scripts/tpu_smoke.py [--skip-cli]
+Crash isolation: the axon relay's TPU worker can crash/restart mid-run
+(observed repeatedly on long chained dispatches). Each stage therefore runs
+in its OWN subprocess (`--stage NAME`), resumes past already-recorded keys,
+and flushes incrementally — a dead worker costs one stage one retry, never
+the whole run. Failures are recorded under "errors" instead of aborting.
+
+Usage: python scripts/tpu_smoke.py [--fresh] [--skip-cli]
+       python scripts/tpu_smoke.py --stage {cli,equiv,timing,gs}
 """
 
 import json
@@ -26,7 +35,22 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "docs", "TPU_SMOKE.json")
 
 
-def main():
+def _load():
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                return json.load(f)
+        except Exception:
+            pass
+    return {}
+
+
+def _save(results):
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+def _jax_setup():
     import jax
 
     cache = os.environ.get("BENCH_CACHE_DIR", "/root/repo/.jax_cache")
@@ -35,56 +59,54 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+    return jax
 
-    results = {"ts": time.time(), "backend": jax.default_backend(),
-               "device": str(jax.devices()[0])}
 
-    def flush():
-        # incremental write: a crash mid-run (relay worker restarts happen)
-        # keeps every completed stage on disk (same contract as bench.py)
-        with open(OUT, "w") as f:
-            json.dump(results, f, indent=1)
-
-    flush()
-
-    # ---- 1. CLI KPM sqw without precomputed bounds -------------------------
-    if "--skip-cli" not in sys.argv:
-        t0 = time.time()
-        cmd = [sys.executable, "-m", "spindynamics_tpu.cli", "sqw",
-               "--method", "kpm", "--L", "20", "--sz0", "--kpm-m", "64",
-               "--n-omega", "50", "--f32"]
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-        line = (r.stdout.strip().splitlines() or [""])[-1]
-        try:
-            payload = json.loads(line)
-        except json.JSONDecodeError:
-            payload = {"raw": line[-500:], "stderr": r.stderr[-500:]}
-        results["cli_kpm_sqw_L20"] = {
-            "rc": r.returncode, "wall_s": round(time.time() - t0, 1),
-            **{k: payload.get(k) for k in ("E0", "S_max", "S_total", "sqw_s")
-               if isinstance(payload, dict)},
-        }
-        print("cli:", results["cli_kpm_sqw_L20"], flush=True)
-        flush()
-
-    # ---- 2. fused matvec equivalence + slope timing at L=24 ----------------
+def _kron_setup(L):
+    import jax
     import jax.numpy as jnp
 
     import spindynamics_tpu as sd
-    from spindynamics_tpu.ops.pallas_kron import apply_H_sector_kron_fused
     from spindynamics_tpu.ops.sector_kron import (
-        apply_H_sector_kron, kron_apply_flops, make_sector_kron_layout,
-        sector_kron_tables)
-    from spindynamics_tpu.solvers.blockvec import BlockVec, bv_random
+        make_sector_kron_layout, sector_kron_tables)
+    from spindynamics_tpu.solvers.blockvec import bv_random
 
-    L = 24
     model = sd.xxz_chain(L, Jxy=1.0, Jz=0.5, nup=L // 2, dtype=jnp.float32,
                          layout="sector_kron")
     lay = make_sector_kron_layout(model, model.kron_splits)
     tables = jax.tree_util.tree_map(jnp.asarray, sector_kron_tables(lay))
     v = bv_random(lay, jax.random.PRNGKey(0), jnp.float32)
     nrm = float(jnp.sqrt(sum(float(jnp.vdot(b, b).real) for b in v.leaves)))
-    v = v * (1.0 / nrm)
+    return model, lay, tables, v * (1.0 / nrm)
+
+
+def stage_cli(results):
+    t0 = time.time()
+    cmd = [sys.executable, "-m", "spindynamics_tpu.cli", "sqw",
+           "--method", "kpm", "--L", "20", "--sz0", "--kpm-m", "64",
+           "--n-omega", "50", "--f32"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    line = (r.stdout.strip().splitlines() or [""])[-1]
+    try:
+        payload = json.loads(line)
+    except json.JSONDecodeError:
+        payload = {"raw": line[-500:], "stderr": r.stderr[-500:]}
+    results["cli_kpm_sqw_L20"] = {
+        "rc": r.returncode, "wall_s": round(time.time() - t0, 1),
+        **{k: payload.get(k) for k in ("E0", "S_max", "S_total", "sqw_s")
+           if isinstance(payload, dict)},
+    }
+    print("cli:", results["cli_kpm_sqw_L20"], flush=True)
+
+
+def stage_equiv(results):
+    import jax
+    import jax.numpy as jnp
+
+    from spindynamics_tpu.ops.pallas_kron import apply_H_sector_kron_fused
+    from spindynamics_tpu.ops.sector_kron import apply_H_sector_kron
+
+    _model, lay, tables, v = _kron_setup(24)
 
     @jax.jit
     def both(leaves, tabs):
@@ -99,50 +121,113 @@ def main():
     results["fused_vs_xla_L24_rel_l2"] = rel
     print(f"fused-vs-xla rel err {rel:.2e} ({time.time()-t0:.0f}s)",
           flush=True)
-    flush()
 
+
+def stage_timing(results):
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(2,))
-    def chain(leaves, tabs, rep):
-        def body(c, i):
-            w = apply_H_sector_kron_fused(c, lay, tabs)
-            return [x * jnp.float32(1.0 / 16.0) for x in w], None
+    import jax
+    import jax.numpy as jnp
 
-        out, _ = jax.lax.scan(body, list(leaves), jnp.arange(rep))
-        return sum(jnp.sum(x) for x in out)
+    from spindynamics_tpu.ops.pallas_kron import apply_H_sector_kron_fused
+    from spindynamics_tpu.ops.sector_kron import kron_apply_flops
+    from spindynamics_tpu.solvers.blockvec import BlockVec
+
+    L = 28
+    model, lay, tables, v = _kron_setup(L)
+
+    # identical chain shape to bench.bench_sector_kron (BENCH_FUSED=2 path):
+    # same jaxpr -> same persistent-cache entry as the bench L=28 matrix point
+    @partial(jax.jit, static_argnums=(2,))
+    def chain(psi, tabs, rep):
+        def body(b, _):
+            w = BlockVec(apply_H_sector_kron_fused(b.leaves, lay, tabs,
+                                                   fuse_crossh=True))
+            return w * jnp.float32(1.0 / 30.0), None
+
+        out, _ = jax.lax.scan(body, psi, None, length=rep)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in out.leaves)
 
     def t(rep):
-        float(chain(v.leaves, tables, rep))
+        float(chain(v, tables, rep))
         t0 = time.time()
-        float(chain(v.leaves, tables, rep))
+        float(chain(v, tables, rep))
         return time.time() - t0
 
-    per_apply = max((t(10) - t(2)) / 8, 1e-9)
+    tA, tB = t(2), t(16)
+    per_apply = max((tB - tA) / 14, 1e-9)
     nnz = lay.n_basis * (1.0 + len(model.hop_sites) / 2.0)
-    results["fused_L24"] = {
+    results[f"fused_L{L}"] = {
         "ms_per_apply": round(per_apply * 1e3, 3),
         "gnnz_per_s": round(nnz / per_apply / 1e9, 1),
         "flops": kron_apply_flops(lay),
     }
-    print("fused L24:", results["fused_L24"], flush=True)
-    flush()
+    print(f"fused L{L}:", results[f"fused_L{L}"], flush=True)
 
-    # ---- 3. restarted ground state at L=24 (blocks form) -------------------
+
+def stage_gs(results):
+    import spindynamics_tpu as sd
+
+    L = 24
+    model, _lay, _tables, _v = _kron_setup(L)
     t0 = time.time()
-    E0, psi, info, _ = sd.groundstate_kron(model, lanc_m=30, cycles=3,
-                                           target_residual=1e-3)
+    E0, _psi, info, _ = sd.groundstate_kron(model, lanc_m=30, cycles=3,
+                                            target_residual=1e-3)
     results["groundstate_L24"] = {
         "E0_per_site": E0 / L, "residual": info["residual"],
         "cycles": info["cycles"], "polished": info.get("polished", 0),
         "wall_s": round(time.time() - t0, 1),
     }
     print("gs L24:", results["groundstate_L24"], flush=True)
-    flush()
 
-    flush()
+
+STAGES = [
+    ("cli", "cli_kpm_sqw_L20", stage_cli),
+    ("equiv", "fused_vs_xla_L24_rel_l2", stage_equiv),
+    ("timing", "fused_L28", stage_timing),
+    ("gs", "groundstate_L24", stage_gs),
+]
+
+
+def run_stage(name):
+    jax = _jax_setup()
+    results = _load()
+    results.update({"ts": time.time(), "backend": jax.default_backend(),
+                    "device": str(jax.devices()[0])})
+    for nm, key, fn in STAGES:
+        if nm == name:
+            fn(results)
+            _save(results)
+            return
+    raise SystemExit(f"unknown stage {name!r}")
+
+
+def orchestrate():
+    if "--fresh" in sys.argv:
+        _save({})
+    for name, key, _fn in STAGES:
+        if name == "cli" and "--skip-cli" in sys.argv:
+            continue
+        if key in _load():
+            continue
+        for attempt in (1, 2):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stage", name],
+                timeout=7200)
+            if key in _load():
+                break
+            print(f"stage {name} attempt {attempt} failed (rc={r.returncode})",
+                  flush=True)
+        else:
+            results = _load()
+            results.setdefault("errors", {})[name] = {
+                "rc": r.returncode, "attempts": 2}
+            _save(results)
     print("wrote", OUT)
 
 
 if __name__ == "__main__":
-    main()
+    if "--stage" in sys.argv:
+        run_stage(sys.argv[sys.argv.index("--stage") + 1])
+    else:
+        orchestrate()
