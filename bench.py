@@ -35,8 +35,9 @@ Line shape:
   fraction is the meaningful denominator.
 
 Env knobs: BENCH_L (headline L, default 32), BENCH_MATRIX (comma list of
-extra points, each "L" for the headline backend or "backend:L", default
-"28,pallas:26"; empty disables), BENCH_BACKEND (sector_kron|blocked|
+extra points, each "L" for the headline backend, "backend:L", or "bf16:L"
+for the sector_kron bf16 amplitude mode; default "28,pallas:26,bf16:32";
+empty disables), BENCH_BACKEND (sector_kron|blocked|
 tensor|pallas|ell; default sector_kron), BENCH_REPS (default 16),
 BENCH_PLATFORM, BENCH_HBM_BW (default v5e 819e9), BENCH_F32_TFLOPS (default
 35.5e12 = the MEASURED matmul rate at precision=high on this v5e for the
@@ -65,7 +66,7 @@ def _slope_time(chain, args, r0, r1):
     return max((tB - tA) / (r1 - r0), 1e-12)
 
 
-def bench_sector_kron(L, reps, hbm_bw, f32_tflops):
+def bench_sector_kron(L, reps, hbm_bw, f32_tflops, bf16=False):
     import jax
     import jax.numpy as jnp
 
@@ -85,8 +86,8 @@ def bench_sector_kron(L, reps, hbm_bw, f32_tflops):
     # BENCH_DTYPE=bf16: the opt-in half-traffic amplitude mode (states stream
     # bf16, f32 in-kernel accumulation — ops/pallas_kron). The roofline
     # denominator uses the true 2-byte traffic; flops are unchanged.
-    state_dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16"
-                   else jnp.float32)
+    bf16 = bf16 or os.environ.get("BENCH_DTYPE") == "bf16"
+    state_dtype = jnp.bfloat16 if bf16 else jnp.float32
     itemsize = jnp.dtype(state_dtype).itemsize
     if itemsize == 2:
         # single-pass bf16xbf16 matmuls: the honest speed-of-light is the
@@ -223,7 +224,8 @@ def main():
     L = int(os.environ.get("BENCH_L", default_L))
     # matrix tokens: "28" (same backend) or "pallas:26" (explicit backend)
     extra = os.environ.get(
-        "BENCH_MATRIX", "28,pallas:26" if backend == "sector_kron" else "")
+        "BENCH_MATRIX",
+        "28,pallas:26,bf16:32" if backend == "sector_kron" else "")
     reps = int(os.environ.get("BENCH_REPS", "16"))
     hbm_bw = float(os.environ.get("BENCH_HBM_BW", 819e9))  # v5e
     f32_tflops = float(os.environ.get("BENCH_F32_TFLOPS", 35.5e12))
@@ -234,8 +236,11 @@ def main():
     def run_one(tok):
         be, _, l = str(tok).rpartition(":")
         be = be or backend
-        if be == "sector_kron":
-            return bench_sector_kron(int(l), reps, hbm_bw, f32_tflops)
+        # "bf16:32": the sector_kron bf16 amplitude mode (half HBM traffic,
+        # f32 in-kernel accumulation — ops/pallas_kron) as its own matrix point
+        if be in ("sector_kron", "bf16"):
+            return bench_sector_kron(int(l), reps, hbm_bw, f32_tflops,
+                                     bf16=be == "bf16")
         return bench_embedded(int(l), be, reps, hbm_bw, f32_tflops)
 
     # Headline FIRST, printed the moment it exists — a later timeout cannot
