@@ -32,7 +32,7 @@ def run(L, reps, kron_only):
     if splits:
         from spindynamics_tpu.ops import sector_kron as sk
 
-        sk.default_kron_splits = lambda L, _s=tuple(
+        sk.default_kron_splits = lambda L, nup=None, _s=tuple(
             int(x) for x in splits.split(",")): _s
     model = sd.xxz_chain(L, Jxy=1.0, Jz=0.5, nup=nup, dtype=jnp.float32,
                          layout="sector_kron")

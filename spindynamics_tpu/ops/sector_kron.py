@@ -65,12 +65,98 @@ __all__ = [
     "kron_order_states",
     "kron_rank",
     "default_kron_splits",
+    "kron_split_argmin",
 ]
 
 
-def default_kron_splits(L: int) -> tuple[int, int, int]:
+# v5e-calibrated roofline constants (scripts/mxu_calibrate.py; bench.py uses
+# the same defaults). Used only to RANK candidate splits — the crossover
+# between the MXU and HBM terms is what matters, not absolute accuracy.
+_SPLIT_COST_TFLOPS = 35.5e12
+_SPLIT_COST_HBM_BW = 819e9
+
+
+def _kron_split_cost(L: int, nup: int, splits) -> tuple[float, int]:
+    """(roofline-seconds proxy, padded elements) of one apply under `splits`.
+
+    Cost = max(matmul flops / MXU rate, 2 state passes / HBM bw) — the kron
+    apply is MXU-bound at L >= 26 and HBM/padding-bound below. Flop model:
+    the W contraction of each part costs 2*size*C_part per group (the part's
+    sector operator is dense [C, C] on that axis, padded to the tile); the two
+    chain-boundary cross bonds cost ~2*size*(clp + cmp) (dense on the first
+    axis of each touched pair). Validated against the exact
+    `kron_apply_flops` on built layouts at L=16-32: same argmin at every L,
+    rank swaps only between near-tied mid-list candidates."""
+    L1, L2, L3 = splits
+    flops = 0
+    padded = 0
+    for kh in range(max(0, nup - L1 - L2), min(L3, nup) + 1):
+        for km in range(max(0, nup - kh - L1), min(L2, nup - kh) + 1):
+            kl = nup - kh - km
+            if kl < 0 or kl > L1:
+                continue
+            ch = math.comb(L3, kh)
+            cm = math.comb(L2, km)
+            cl = math.comb(L1, kl)
+            cmp_ = -(-cm // 8) * 8
+            clp = -(-cl // 128) * 128
+            size = ch * cmp_ * clp
+            padded += size
+            w = 0
+            if 0 < kl < L1:
+                w += clp
+            if 0 < km < L2:
+                w += cmp_
+            if 0 < kh < L3:
+                w += ch
+            w += clp + cmp_  # lo|mid and mid|hi boundary bonds
+            flops += 2 * size * w
+    return (max(flops / _SPLIT_COST_TFLOPS,
+                2 * padded * 4 / _SPLIT_COST_HBM_BW), padded)
+
+
+def kron_split_argmin(L: int, nup: int | None = None) -> tuple[int, int, int]:
+    """Flop-argmin split under `_kron_split_cost` — an ANALYSIS TOOL, not the
+    default. Measured on the v5e (round 3, fused kernel, warm cache):
+
+        L=32 (11,11,10) -> (10,11,11): predicted 1.14x, MEASURED 0.88x
+             (160.4 -> 141.8 Gnnz/s)
+        L=28 (11, 9, 8) -> (10, 8,10): predicted 1.43x, MEASURED 0.97x
+             (170.0 -> 165.1 Gnnz/s)
+        bf16 L=32: 328.6 -> 307.6 Gnnz/s
+
+    i.e. rebalancing the parts to cut matmul flops LOSES on the real kernel
+    at every measured point: the fused kernel's throughput at lane-512 /
+    short-hi group shapes exceeds what a flop model predicts by more than the
+    flop savings (the 3-pass f32-grade dots at [*, 512] sustain much higher
+    MXU utilization than at [*, 256], and fewer, fatter hi rows amortize the
+    per-grid-step overhead). So `default_kron_splits` keeps the
+    largest-lo-with-C<=512 heuristic; this argmin stays available for
+    profiling other-hardware or future-kernel hypotheses
+    (scripts/bench_kron.py SPLITS=... measures any explicit split)."""
+    if nup is None:
+        nup = L // 2
+    best = None
+    for L1 in range(2, L - 1):
+        if math.comb(L1, L1 // 2) > 512:
+            break
+        for L2 in range(1, L - L1):
+            L3 = L - L1 - L2
+            cost = _kron_split_cost(L, nup, (L1, L2, L3))
+            key = (cost, (L1, L2, L3))
+            if best is None or key < best:
+                best = key
+    return best[1]
+
+
+@lru_cache(maxsize=None)
+def default_kron_splits(L: int, nup: int | None = None) -> tuple[int, int, int]:
     """(L1, L2, L3): largest lo part with C(L1, L1//2) <= 512 (the MXU sweet
-    spot for the lane-axis matmul), remainder split mid >= hi."""
+    spot for the lane-axis matmul), remainder split mid >= hi.
+
+    Measured-best on the v5e fused kernel at every bench point — see
+    `kron_split_argmin` for the round-3 split study showing flop-balanced
+    alternatives lose on chip despite up to 1.5x fewer matmul flops."""
     L1 = 2
     while L1 + 1 <= L - 2 and math.comb(L1 + 1, (L1 + 1) // 2) <= 512:
         L1 += 1
@@ -529,7 +615,7 @@ def make_sector_kron_layout(model_or_args, splits=None, pads=DEFAULT_PADS,
         L, nup, hop_sites, hop_J = model_or_args
         hop_J = tuple(hop_J)
     if splits is None:
-        splits = default_kron_splits(L)
+        splits = default_kron_splits(L, nup)
     field_key = () if field is None else tuple(np.asarray(field, np.float64).tolist())
     if field_key and not any(field_key):
         field_key = ()

@@ -209,6 +209,33 @@ def test_default_splits():
         assert math.comb(L1, L1 // 2) <= 512
 
 
+def test_split_argmin_study():
+    """Round-3 split study (kron_split_argmin docstring): the flop-argmin
+    split genuinely cuts modeled flops vs the default heuristic — and still
+    LOST on the real chip at every measured point, which is why
+    default_kron_splits keeps the lane-512 heuristic. This pins both halves:
+    the proxy ranks the argmin below the default (the study is reproducible)
+    while the default stays the heuristic (the measured winner)."""
+    from spindynamics_tpu.ops.sector_kron import (
+        _kron_split_cost, kron_apply_flops, kron_split_argmin)
+
+    for L in (24, 26, 28, 30, 32):
+        am = kron_split_argmin(L)
+        de = default_kron_splits(L)
+        assert _kron_split_cost(L, L // 2, am) <= _kron_split_cost(
+            L, L // 2, de)
+    assert default_kron_splits(28) == (11, 9, 8)
+    assert kron_split_argmin(28) != (11, 9, 8)
+
+    # the proxy's flop ordering agrees with the exact kron_apply_flops where
+    # the exact model is cheap to build (validated by hand to L=32 in round 3)
+    m = build_model(16, nup=8, hopping=[(i, i + 1, 1.0) for i in range(15)],
+                    layout="sector_kron")
+    lay_am = make_sector_kron_layout(m, kron_split_argmin(16, 8))
+    lay_de = make_sector_kron_layout(m, default_kron_splits(16, 8))
+    assert kron_apply_flops(lay_am) < kron_apply_flops(lay_de)
+
+
 # ---- fused Pallas hi-local kernel (ops/pallas_kron, VERDICT r1 item 2) -----
 
 
