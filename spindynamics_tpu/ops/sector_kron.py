@@ -76,7 +76,8 @@ _SPLIT_COST_TFLOPS = 35.5e12
 _SPLIT_COST_HBM_BW = 819e9
 
 
-def _kron_split_cost(L: int, nup: int, splits) -> tuple[float, int]:
+def _kron_split_cost(L: int, nup: int, splits, itemsize: int = 4
+                     ) -> tuple[float, int]:
     """(roofline-seconds proxy, padded elements) of one apply under `splits`.
 
     Cost = max(matmul flops / MXU rate, 2 state passes / HBM bw) — the kron
@@ -86,7 +87,11 @@ def _kron_split_cost(L: int, nup: int, splits) -> tuple[float, int]:
     chain-boundary cross bonds cost ~2*size*(clp + cmp) (dense on the first
     axis of each touched pair). Validated against the exact
     `kron_apply_flops` on built layouts at L=16-32: same argmin at every L,
-    rank swaps only between near-tied mid-list candidates."""
+    rank swaps only between near-tied mid-list candidates.
+
+    `itemsize` is the amplitude width in bytes for the HBM term (4 = f32
+    default; pass 2 when ranking splits for the bf16 amplitude mode — the
+    MXU/HBM crossover, and hence the ranking, can differ at half traffic)."""
     L1, L2, L3 = splits
     flops = 0
     padded = 0
@@ -112,12 +117,19 @@ def _kron_split_cost(L: int, nup: int, splits) -> tuple[float, int]:
             w += clp + cmp_  # lo|mid and mid|hi boundary bonds
             flops += 2 * size * w
     return (max(flops / _SPLIT_COST_TFLOPS,
-                2 * padded * 4 / _SPLIT_COST_HBM_BW), padded)
+                2 * padded * itemsize / _SPLIT_COST_HBM_BW), padded)
 
 
-def kron_split_argmin(L: int, nup: int | None = None) -> tuple[int, int, int]:
+def kron_split_argmin(L: int, nup: int | None = None,
+                      itemsize: int = 4) -> tuple[int, int, int]:
     """Flop-argmin split under `_kron_split_cost` — an ANALYSIS TOOL, not the
-    default. Measured on the v5e (round 3, fused kernel, warm cache):
+    default. The search space is restricted to L1 with C(L1, L1//2) <= 512
+    (the same lane cap as `default_kron_splits` — wider lo parts exceed the
+    lane-axis matmul sweet spot AND the kernel's VMEM table budget), so this
+    is the argmin over the deployable splits, not over all 3-partitions.
+    Requires L >= 4 (a valid 3-way split with L1 >= 2 must exist).
+
+    Measured on the v5e (round 3, fused kernel, warm cache):
 
         L=32 (11,11,10) -> (10,11,11): predicted 1.14x, MEASURED 0.88x
              (160.4 -> 141.8 Gnnz/s)
@@ -136,13 +148,18 @@ def kron_split_argmin(L: int, nup: int | None = None) -> tuple[int, int, int]:
     (scripts/bench_kron.py SPLITS=... measures any explicit split)."""
     if nup is None:
         nup = L // 2
+    if L < 4:
+        raise ValueError(
+            f"kron_split_argmin needs L >= 4 (no valid 3-way split with "
+            f"L1 >= 2 exists at L={L}); use default_kron_splits or a "
+            "non-kron layout for tiny chains")
     best = None
     for L1 in range(2, L - 1):
         if math.comb(L1, L1 // 2) > 512:
             break
         for L2 in range(1, L - L1):
             L3 = L - L1 - L2
-            cost = _kron_split_cost(L, nup, (L1, L2, L3))
+            cost = _kron_split_cost(L, nup, (L1, L2, L3), itemsize)
             key = (cost, (L1, L2, L3))
             if best is None or key < best:
                 best = key
@@ -153,6 +170,12 @@ def kron_split_argmin(L: int, nup: int | None = None) -> tuple[int, int, int]:
 def default_kron_splits(L: int, nup: int | None = None) -> tuple[int, int, int]:
     """(L1, L2, L3): largest lo part with C(L1, L1//2) <= 512 (the MXU sweet
     spot for the lane-axis matmul), remainder split mid >= hi.
+
+    `nup` is accepted for API symmetry with `kron_split_argmin` (and so
+    callers/monkeypatches can swap the two) but is NOT used: the heuristic is
+    sector-independent. Its C(L1, L1//2) sweet spot assumes nup ~ L/2; for
+    strongly polarized sectors measure alternatives via
+    scripts/bench_kron.py SPLITS=... before trusting any model.
 
     Measured-best on the v5e fused kernel at every bench point — see
     `kron_split_argmin` for the round-3 split study showing flop-balanced

@@ -219,13 +219,16 @@ def test_split_argmin_study():
     from spindynamics_tpu.ops.sector_kron import (
         _kron_split_cost, kron_apply_flops, kron_split_argmin)
 
-    for L in (24, 26, 28, 30, 32):
-        am = kron_split_argmin(L)
-        de = default_kron_splits(L)
-        assert _kron_split_cost(L, L // 2, am) <= _kron_split_cost(
-            L, L // 2, de)
+    # pin the specific argmin tuples recorded in the round-3 study (the
+    # "<= default by construction" loop was tautological — the default lies
+    # inside the argmin's search space; advisor r3)
+    assert kron_split_argmin(32) == (10, 11, 11)
+    assert kron_split_argmin(28) == (10, 8, 10)
+    assert default_kron_splits(32) == (11, 11, 10)
     assert default_kron_splits(28) == (11, 9, 8)
-    assert kron_split_argmin(28) != (11, 9, 8)
+    assert kron_split_argmin(28) != default_kron_splits(28)
+    with pytest.raises(ValueError):
+        kron_split_argmin(3)
 
     # the proxy's flop ordering agrees with the exact kron_apply_flops where
     # the exact model is cheap to build (validated by hand to L=32 in round 3)
