@@ -307,6 +307,7 @@ def build_model(
     device_build: bool | None = None,
     layout: str = "compact",
     lean: bool | None = None,
+    kron_splits: tuple | None = None,
 ) -> SpinModel:
     """Create a SpinModel (ref: src/SpinModel.jl:23-38 `build_model`).
 
@@ -321,6 +322,8 @@ def build_model(
     exact invariant subspace, see SpinModel.valid_mask."""
     if layout not in ("compact", "embedded", "sector_blocked", "sector_kron"):
         raise ValueError(f"unknown layout {layout!r}")
+    if kron_splits is not None and layout != "sector_kron":
+        raise ValueError("kron_splits only applies to layout='sector_kron'")
     if layout == "sector_kron":
         if nup is None:
             raise ValueError("layout='sector_kron' requires nup")
@@ -337,7 +340,8 @@ def build_model(
         )
         hop_sites = tuple(zip(hop_i.tolist(), hop_j.tolist()))
         lay = make_sector_kron_layout(
-            (L, nup, hop_sites, hop_J.astype(np.float64).tolist())
+            (L, nup, hop_sites, hop_J.astype(np.float64).tolist()),
+            splits=kron_splits,  # None -> default_kron_splits heuristic
         )
         if device_build is None:
             device_build = (

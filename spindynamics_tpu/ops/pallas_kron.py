@@ -216,7 +216,7 @@ def _dot_split2(state, table, exact, flip=False):
 
 def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
                       crossh_shapes=(), has_seed=True,
-                      state_dtype=jnp.float32):
+                      state_dtype=jnp.float32, crossw_shapes=()):
     """Return a pallas_call for one group structure.
 
     shape_key = (ch, cmp, clp); has = (D1?, D2?, D3?, W_lo?, W_mid?);
@@ -227,14 +227,20 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
     clip(i + rb0 - cb0) and each mid run in `mids` is a static slice add
     masked by the hi-run range; has_seed=False drops the XLA seed input
     (group has no W_hi table and all its crossh terms are fused).
+    crossw_shapes = tuple of (cmp_s, clp_s, mids) per WINDOWED hi-axis cross
+    term (the sharded path, parallel/sharded_kron_scaling): the caller has
+    already materialized the shifted, run-masked source rows ALIGNED to this
+    group's hi rows (a [ch, cmp_s, clp_s] window), so the kernel applies the
+    mid runs as plain slice adds — no shift, no mask.
     Grid: one hi row per step (blocks [1, cmp, clp] — full native tiles);
-    inputs ordered [T_own, seed?, T_src..., T_srch..., D1?, D2?, D3?,
-    W_lo?, W_mid_T?, A...]."""
+    inputs ordered [T_own, seed?, T_src..., T_srch..., T_win..., D1?, D2?,
+    D3?, W_lo?, W_mid_T?, A...]."""
     ch, cmp, clp = shape_key
     hD1, hD2, hD3, hWlo, hWmid = has
     e_wlo, e_wmid, e_cross = exact
     n_cross = len(cross_shapes)
     n_crossh = len(crossh_shapes)
+    n_crossw = len(crossw_shapes)
     # bf16 states accumulate into an f32 VMEM scratch: arbitrary-offset
     # sublane RMW on a (16,128)-tiled bf16 out ref is Mosaic-hostile, and
     # per-slice bf16 rounding would stack. One final cast writes out.
@@ -250,6 +256,7 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
             seed = refs[i]; i += 1  # XLA-computed hi-axis terms: seeds acc
         t_srcs = refs[i: i + n_cross]; i += n_cross
         th_srcs = refs[i: i + n_crossh]; i += n_crossh
+        tw_srcs = refs[i: i + n_crossw]; i += n_crossw
         d1 = refs[i] if hD1 else None; i += hD1
         d2 = refs[i] if hD2 else None; i += hD2
         d3 = refs[i] if hD3 else None; i += hD3
@@ -315,6 +322,14 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
                 rmw(ca0, lna,
                     (jnp.float32(val) * msk)
                     * src[ra0:ra0 + lna, :].astype(jnp.float32))
+        # windowed hi-axis cross (sharded path): source rows pre-shifted and
+        # pre-masked by the caller — plain static mid-slice adds
+        for (tw, (cmp_s, clp_s, mids)) in zip(tw_srcs, crossw_shapes):
+            src = tw[0]
+            for (ra0, ca0, lna, val) in mids:
+                rmw(ca0, lna,
+                    jnp.float32(val)
+                    * src[ra0:ra0 + lna, :].astype(jnp.float32))
         if bf16_state:
             out[0] = acc_ref[...].astype(state_dtype)
 
@@ -331,6 +346,9 @@ def _build_group_call(shape_key, has, cross_shapes, interpret, exact,
             (1, cmp_s, clp_s),
             lambda i, d=rb0 - cb0, n=ch_s: (jnp.clip(i + d, 0, n - 1), 0, 0),
             memory_space=pltpu.VMEM))
+    for (cmp_s, clp_s, mids) in crossw_shapes:
+        in_specs.append(pl.BlockSpec((1, cmp_s, clp_s), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
     if hD1:
         in_specs.append(pl.BlockSpec((cmp, clp), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))

@@ -368,3 +368,187 @@ class TestShardedKronScaling:
         E_c, _, _ = sd.lanczos_groundstate(
             sd.matvec_fn(mc), mc.n_states, lanc_m=80, dtype=jnp.float64)
         assert E_sh == pytest.approx(E_c, abs=1e-9)
+
+
+# ---- fused Pallas kernel on the memory-scaling sharded path (VERDICT r3 #1) -
+
+
+class TestShardedKronFused:
+    """The fused hi-local kernel (ops/pallas_kron) running INSIDE shard_map,
+    with W_hi partials psum_scattered as the seed and mid|hi cross terms
+    delivered as GSPMD halo windows (D > 1) or shifted BlockSpecs (D == 1)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        import spindynamics_tpu as sd
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            sharded_kron_scaling_matvec_fn,
+        )
+
+        L = 16
+        fld = np.linspace(-0.2, 0.3, L)
+        # splits (6, 4, 6): hi axes up to C(6,3)=20 > 8 devices, so local hi
+        # blocks have b > 1 and windows genuinely cross shard boundaries
+        m = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, h=fld, nup=L // 2,
+                         dtype=jnp.float32, layout="sector_kron",
+                         kron_splits=(6, 4, 6))
+        m64 = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, h=fld, nup=L // 2,
+                           dtype=jnp.float64, layout="sector_kron",
+                           kron_splits=(6, 4, 6))
+        mesh = Mesh(np.array(jax.devices()), ("rows",))
+        mv, lay, spec = sharded_kron_scaling_matvec_fn(m, mesh, use_fused=True)
+        return m, m64, mesh, mv, lay, spec
+
+    def _oracle(self, m64, x):
+        from spindynamics_tpu.ops.sector_kron import (
+            apply_H_sector_kron, make_sector_kron_layout)
+
+        lay64 = make_sector_kron_layout(m64, m64.kron_splits, m64.kron_pads)
+        return apply_H_sector_kron(x.astype(jnp.float64), None, lay64)
+
+    def test_matches_x64_oracle(self, setup, rng):
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            shard_kron_state, unshard_kron_state,
+        )
+
+        m, m64, mesh, mv, lay, spec = setup
+        x = jnp.asarray(rng.standard_normal(lay.n_states), jnp.float32)
+        x = jnp.where(m.valid_mask(), x, 0.0)
+        y_ref = self._oracle(m64, x)
+        xs = jax.device_put(shard_kron_state(x, spec),
+                            NamedSharding(mesh, P("rows")))
+        y = unshard_kron_state(mv(xs), spec)
+        scale = float(jnp.max(jnp.abs(y_ref)))
+        np.testing.assert_allclose(np.asarray(y, np.float64),
+                                   np.asarray(y_ref), rtol=0,
+                                   atol=1e-5 * scale)
+
+    def test_matches_single_device_fused(self, setup, rng):
+        """Bit-level f32 agreement band with the single-device fused apply."""
+        from spindynamics_tpu.ops.pallas_kron import apply_H_sector_kron_fused
+        from spindynamics_tpu.ops.sector_kron import (
+            blocks_to_flat, flat_to_blocks)
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            shard_kron_state, unshard_kron_state,
+        )
+
+        m, m64, mesh, mv, lay, spec = setup
+        x = jnp.asarray(rng.standard_normal(lay.n_states), jnp.float32)
+        x = jnp.where(m.valid_mask(), x, 0.0)
+        y1 = blocks_to_flat(
+            apply_H_sector_kron_fused(flat_to_blocks(x, lay), lay), lay)
+        xs = jax.device_put(shard_kron_state(x, spec),
+                            NamedSharding(mesh, P("rows")))
+        y = unshard_kron_state(mv(xs), spec)
+        scale = float(jnp.max(jnp.abs(y1)))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y1), rtol=0,
+                                   atol=2e-6 * scale)
+
+    def test_no_allgather(self, setup):
+        m, m64, mesh, mv, lay, spec = setup
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            shard_kron_state,
+        )
+
+        x = jnp.zeros(lay.n_states, jnp.float32)
+        xs = jax.device_put(shard_kron_state(x, spec),
+                            NamedSharding(mesh, P("rows")))
+        txt = mv._jitted.lower(xs, mv._tables).compile().as_text()
+        assert "all-gather" not in txt, \
+            "fused sharded kron apply all-gathers (windows must lower to " \
+            "slice/pad halo exchanges, not scatters)"
+
+    def test_collective_volume_matches_model(self, setup):
+        """HLO-level collective accounting (VERDICT r3 weak-2 / next-4): the
+        compiled module's reduce-scatter operands must match the locality
+        model EXACTLY (count and bytes), and the window halo exchange must
+        stay within a small multiple of the window content — a change that
+        silently doubles traffic fails here."""
+        import re
+
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            collective_traffic_model, shard_kron_state,
+        )
+
+        m, m64, mesh, mv, lay, spec = setup
+        model = collective_traffic_model(lay, spec, mv._cfg)
+        x = jnp.zeros(lay.n_states, jnp.float32)
+        xs = jax.device_put(shard_kron_state(x, spec),
+                            NamedSharding(mesh, P("rows")))
+        txt = mv._jitted.lower(xs, mv._tables).compile().as_text()
+
+        def op_bytes(name):
+            tot, n = 0, 0
+            for mt in re.finditer(
+                    r"= f32\[([\d,]*)\]\S* " + name + r"\(", txt):
+                dims = [int(v) for v in mt.group(1).split(",") if v]
+                el = 1
+                for v in dims:
+                    el *= v
+                tot += 4 * el
+                n += 1
+            return tot, n
+
+        rs_bytes, n_rs = op_bytes("reduce-scatter")
+        # reduce-scatter HLO ops report the scattered OUTPUT shape [b, ...];
+        # operand volume is D x that
+        assert n_rs == model["n_reduce_scatter"]
+        assert rs_bytes * spec.D == model["reduce_scatter_bytes"]
+
+        cp_bytes, n_cp = op_bytes("collective-permute")
+        assert model["window_bytes"] > 0
+        assert cp_bytes > 0
+        # halo exchanges move boundary rows; allow GSPMD slack but fail on
+        # anything close to a second full-window copy
+        assert cp_bytes <= 2 * model["window_bytes"], (
+            cp_bytes, model["window_bytes"])
+
+    def test_single_device_mesh_uses_blockspec_path(self, rng):
+        """D == 1: no windows are built; crossh streams through the kernel's
+        shifted BlockSpecs (the exact single-device v2 Mosaic modules)."""
+        import spindynamics_tpu as sd
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            shard_kron_state, sharded_kron_scaling_matvec_fn,
+            unshard_kron_state,
+        )
+
+        L = 14
+        m = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, nup=L // 2, dtype=jnp.float32,
+                         layout="sector_kron")
+        m64 = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, nup=L // 2, dtype=jnp.float64,
+                           layout="sector_kron")
+        mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
+        mv, lay, spec = sharded_kron_scaling_matvec_fn(m, mesh,
+                                                       use_fused=True)
+        assert mv._cfg is not None and not mv._cfg.windowed
+        x = jnp.asarray(rng.standard_normal(lay.n_states), jnp.float32)
+        x = jnp.where(m.valid_mask(), x, 0.0)
+        y_ref = self._oracle(m64, x)
+        xs = jax.device_put(shard_kron_state(x, spec),
+                            NamedSharding(mesh, P("rows")))
+        y = unshard_kron_state(mv(xs), spec)
+        scale = float(jnp.max(jnp.abs(y_ref)))
+        np.testing.assert_allclose(np.asarray(y, np.float64),
+                                   np.asarray(y_ref), rtol=0,
+                                   atol=1e-5 * scale)
+
+    def test_sharded_fused_groundstate(self, setup):
+        """End-to-end: two-pass ground state through the fused sharded matvec
+        matches the compact-layout reference energy."""
+        import spindynamics_tpu as sd
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            shard_kron_state,
+        )
+
+        m, m64, mesh, mv, lay, spec = setup
+        mask = shard_kron_state(
+            m.valid_mask().astype(jnp.float32), spec) > 0.5
+        mask = jax.device_put(mask, NamedSharding(mesh, P("rows")))
+        E_sh, _, info = sd.lanczos_groundstate_twopass(
+            mv, spec.n_sharded, lanc_m=50, dtype=jnp.float32, mask=mask)
+        mc = sd.xxz_chain(m.L, Jxy=1.0, Jz=0.7,
+                          h=np.linspace(-0.2, 0.3, m.L), nup=m.L // 2,
+                          dtype=jnp.float64)
+        E_c, _, _ = sd.lanczos_groundstate(
+            sd.matvec_fn(mc), mc.n_states, lanc_m=80, dtype=jnp.float64)
+        assert E_sh == pytest.approx(E_c, abs=5e-4)
