@@ -103,5 +103,20 @@ from .solvers.typicality import (
     thermal_state,
     typicality_correlation_function,
 )
+from .observables_kron import (
+    connected_correlations_kron,
+    magnetization_per_site_kron,
+    structure_factor_Sq_kron,
+    szsz_matrix_kron,
+)
+from .solvers.blockvec import BlockVec, bv_basis_state, bv_random
+from .solvers.kron_evolve import (
+    chebyshev_time_evolve_kron,
+    evolve_trajectory_kron,
+    kron_energy_bounds,
+    kron_planes_matvec_fn,
+    krylov_imaginary_time_evolve_kron,
+    krylov_time_evolve_kron,
+)
 
 __version__ = "0.1.0"

@@ -106,11 +106,8 @@ def szsz_matrix(psi: jax.Array, model: SpinModel, chunk: int = 1 << 18):
     return szsz, si
 
 
-def connected_correlations(psi: jax.Array, model: SpinModel) -> jax.Array:
-    """C_r = (1/L) sum_i [<Sz_i Sz_{i+r}> - <Sz_i><Sz_{i+r}>], periodic wrap
-    (ref: src/Observables.jl:44-95, incl. the mod1 wrap at :68)."""
-    szsz, si = szsz_matrix(psi, model)
-    L = model.L
+def _connected_from_szsz(szsz, si, L: int) -> jax.Array:
+    """C_r from the pair-correlator matrix (shared with observables_kron)."""
     conn = szsz - jnp.outer(si, si)
     i = jnp.arange(L)
     rows = []
@@ -118,6 +115,13 @@ def connected_correlations(psi: jax.Array, model: SpinModel) -> jax.Array:
         j = (i + r) % L
         rows.append(jnp.mean(conn[i, j]))
     return jnp.stack(rows)
+
+
+def connected_correlations(psi: jax.Array, model: SpinModel) -> jax.Array:
+    """C_r = (1/L) sum_i [<Sz_i Sz_{i+r}> - <Sz_i><Sz_{i+r}>], periodic wrap
+    (ref: src/Observables.jl:44-95, incl. the mod1 wrap at :68)."""
+    szsz, si = szsz_matrix(psi, model)
+    return _connected_from_szsz(szsz, si, model.L)
 
 
 def structure_factor_Sq(psi: jax.Array, model: SpinModel):

@@ -22,7 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["BlockVec", "bv_zeros_like", "bv_random", "bv_where_mask"]
+__all__ = ["BlockVec", "bv_zeros_like", "bv_random", "bv_where_mask",
+           "bv_basis_state", "bv_matvec_fn"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -135,6 +136,42 @@ def bv_random(layout, key, dtype=jnp.float32, masked: bool = True):
             x = x.at[:, :, cl:].set(0)
         leaves.append(x)
     del PAD_SENTINEL
+    return BlockVec(leaves)
+
+
+def bv_basis_state(layout, bitstring: int, dtype=jnp.float32) -> BlockVec:
+    """One-hot |bitstring> as a BlockVec (kron analog of
+    models.initial_states.basis_state_vector — ref src/InitialStates.jl)."""
+    from .. import basis as basis_mod
+    from ..ops.sector_kron import kron_part_perms
+
+    L1, L2, L3 = layout.splits
+    perms = kron_part_perms(layout.splits)
+
+    def internal(sub, Lp, perm):
+        v = 0
+        for rel in range(Lp):
+            v |= ((sub >> rel) & 1) << perm[rel]
+        return v
+
+    lo = internal(bitstring & ((1 << L1) - 1), L1, perms[0])
+    mid = internal((bitstring >> L1) & ((1 << L2) - 1), L2, perms[1])
+    hi = internal(bitstring >> (L1 + L2), L3, perms[2])
+    k_h = bin(hi).count("1")
+    k_m = bin(mid).count("1")
+    k_l = bin(lo).count("1")
+    if k_h + k_m + k_l != layout.nup:
+        raise ValueError(
+            f"state {bitstring:#x} has wrong magnetization for nup={layout.nup}")
+    leaves = []
+    for (gkh, gkm, gkl, ch, cm, cl, cmp, clp) in layout.groups:
+        leaf = jnp.zeros((ch, cmp, clp), dtype)
+        if (gkh, gkm) == (k_h, k_m):
+            leaf = leaf.at[
+                basis_mod.rank_state(hi, L3, k_h),
+                basis_mod.rank_state(mid, L2, k_m),
+                basis_mod.rank_state(lo, L1, k_l)].set(1)
+        leaves.append(leaf)
     return BlockVec(leaves)
 
 

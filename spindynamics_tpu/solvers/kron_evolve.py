@@ -1,0 +1,289 @@
+"""Real-time evolution at kron BlockVec scale (VERDICT r3 missing-2).
+
+The reference's signature demo — domain-wall magnetization dynamics
+(examples/example.jl:86-117, src/TimeEvolution/Chebyshev.jl:62-133) — runs
+here at L = 28-30 on one chip: the state is a pair of REAL BlockVecs
+(re, im planes — zero complex dtypes anywhere, relay-safe), every matvec is
+the fused Pallas kron kernel (ops/pallas_kron), and the Chebyshev-Bessel /
+Krylov recurrences are lax.scan loops over the BlockVec pytree.
+
+Memory: the Chebyshev step holds 3 plane pairs (prev, curr, acc) ~ 6 state
+vectors — at L=28 Sz=14 (N = 4.0e7) that is ~1 GB; L=30 ~7 GB; L=32 needs
+the sharded path. Krylov variants store the m-vector basis (scan-stacked
+leaves) — use moderate m or prefer Chebyshev at large L.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.compensated import vdot2
+from .blockvec import BlockVec, bv_basis_state, bv_random
+
+__all__ = [
+    "kron_planes_matvec_fn",
+    "pair_dot",
+    "pair_norm2",
+    "chebyshev_time_evolve_kron",
+    "krylov_time_evolve_kron",
+    "krylov_imaginary_time_evolve_kron",
+    "kron_energy_bounds",
+    "evolve_trajectory_kron",
+]
+
+
+def kron_planes_matvec_fn(layout, tables=None, fused: bool = True):
+    """pmv((re, im)) = (H re, H im) on BlockVec planes (H is real)."""
+    from ..ops.sector_kron import _device_tables
+
+    if tables is None:
+        tables = jax.tree_util.tree_map(jnp.asarray, _device_tables(layout))
+    if fused:
+        from ..ops.pallas_kron import apply_H_sector_kron_fused
+
+        def mv(bv):
+            return BlockVec(apply_H_sector_kron_fused(bv.leaves, layout,
+                                                      tables))
+    else:
+        from ..ops.sector_kron import apply_H_sector_kron
+
+        def mv(bv):
+            return BlockVec(apply_H_sector_kron(bv.leaves, None, layout,
+                                                tables))
+
+    def pmv(pair):
+        return (mv(pair[0]), mv(pair[1]))
+
+    pmv.mv = mv
+    return pmv
+
+
+def _bv_vdot(x: BlockVec, y: BlockVec):
+    """Compensated sum of per-leaf real vdots (f32 at N ~ 1e8 needs it)."""
+    return sum(jnp.real(vdot2(a, b)) for a, b in zip(x.leaves, y.leaves))
+
+
+def pair_dot(x, y):
+    """(Re<x|y>, Im<x|y>) for BlockVec plane pairs."""
+    re = _bv_vdot(x[0], y[0]) + _bv_vdot(x[1], y[1])
+    im = _bv_vdot(x[0], y[1]) - _bv_vdot(x[1], y[0])
+    return re, im
+
+
+def pair_norm2(x):
+    return _bv_vdot(x[0], x[0]) + _bv_vdot(x[1], x[1])
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _cheb_kron_scan(pmv, pair, coeffs_ri, ab, n):
+    """Chebyshev-Bessel e^{-iH dt} step on BlockVec planes (the BlockVec
+    mirror of solvers/planes._cheb_planes_scan; ref recurrence
+    src/TimeEvolution/Chebyshev.jl:111-122)."""
+    a_inv, b = ab
+
+    def mvr(p):
+        hr, hi = pmv(p)
+        return ((hr - b * p[0]) * a_inv, (hi - b * p[1]) * a_inv)
+
+    phi_prev = pair
+    c0r, c0i = coeffs_ri[0, 0], coeffs_ri[0, 1]
+    c1r, c1i = coeffs_ri[1, 0], coeffs_ri[1, 1]
+    acc_r = phi_prev[0] * c0r - phi_prev[1] * c0i
+    acc_i = phi_prev[0] * c0i + phi_prev[1] * c0r
+    phi_curr = mvr(phi_prev)
+    acc_r = acc_r + phi_curr[0] * c1r - phi_curr[1] * c1i
+    acc_i = acc_i + phi_curr[0] * c1i + phi_curr[1] * c1r
+
+    def step(carry, c):
+        p_prev, p_curr, ar, ai = carry
+        nr, ni = mvr(p_curr)
+        p_next = (nr * 2.0 - p_prev[0], ni * 2.0 - p_prev[1])
+        ar = ar + p_next[0] * c[0] - p_next[1] * c[1]
+        ai = ai + p_next[0] * c[1] + p_next[1] * c[0]
+        return (p_curr, p_next, ar, ai), None
+
+    if n > 2:
+        (_, _, acc_r, acc_i), _ = jax.lax.scan(
+            step, (phi_prev, phi_curr, acc_r, acc_i), coeffs_ri[2:]
+        )
+    return (acc_r, acc_i)
+
+
+def chebyshev_time_evolve_kron(pair, pmv, dt, Ebounds, cheb_n: int = 100,
+                               coeffs=None):
+    """One e^{-iH dt} step on a BlockVec plane pair (cf.
+    chebyshev_time_evolve_planes). Reuse ONE pmv closure across steps to
+    avoid retraces."""
+    from .chebyshev import chebyshev_coefficients
+
+    if coeffs is None:
+        coeffs = chebyshev_coefficients(dt, Ebounds[0], Ebounds[1], cheb_n)
+    c, a, b = coeffs
+    c_ri = jnp.asarray(np.stack([c.real, c.imag], axis=1), jnp.float32)
+    ab = (jnp.float32(1.0 / a), jnp.float32(b))
+    return _cheb_kron_scan(pmv, pair, c_ri, ab, cheb_n)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _krylov_kron_factorize(pmv, pair, m):
+    nrm = jnp.sqrt(pair_norm2(pair))
+    inv = 1.0 / jnp.maximum(nrm, jnp.finfo(jnp.float32).tiny)
+    v1 = (pair[0] * inv, pair[1] * inv)
+
+    def step(carry, _):
+        v_prev, v_curr, beta_prev = carry
+        hr, hi = pmv(v_curr)
+        alpha, _ = pair_dot(v_curr, (hr, hi))
+        w = (hr - v_curr[0] * alpha - v_prev[0] * beta_prev,
+             hi - v_curr[1] * alpha - v_prev[1] * beta_prev)
+        beta = jnp.sqrt(pair_norm2(w))
+        inv = jnp.where(beta > 1e-12,
+                        1.0 / jnp.maximum(beta, jnp.finfo(jnp.float32).tiny),
+                        0.0)
+        v_next = (w[0] * inv, w[1] * inv)
+        beta_out = jnp.where(beta > 1e-12, beta, 0.0)
+        return (v_curr, v_next, beta_out), (v_curr, alpha, beta_out)
+
+    zero = (v1[0] * 0.0, v1[1] * 0.0)
+    _, (V, alphas, betas) = jax.lax.scan(
+        step, (zero, v1, jnp.float32(0.0)), None, length=m)
+    return V, alphas, betas, nrm
+
+
+def _krylov_reconstruct(V, y_r, y_i):
+    """psi = sum_k (y_r + i y_i)_k V_k for scan-stacked BlockVec planes V."""
+    def comb(y, plane):
+        return jax.tree_util.tree_map(
+            lambda leaf: jnp.tensordot(y.astype(leaf.dtype), leaf, axes=1),
+            plane)
+
+    out_r = comb(y_r, V[0]) - comb(y_i, V[1])
+    out_i = comb(y_i, V[0]) + comb(y_r, V[1])
+    return (out_r, out_i)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 4))
+def _krylov_kron_evolve(pmv, pair, m, dt, renormalize):
+    """e^{-iH dt} in an m-dim Krylov subspace on BlockVec planes (all-real;
+    cf. planes._krylov_planes_evolve; ref src/TimeEvolution/Krylov.jl)."""
+    V, alphas, betas, nrm = _krylov_kron_factorize(pmv, pair, m)
+    T = jnp.diag(alphas)
+    if m > 1:
+        T = T + jnp.diag(betas[: m - 1], 1) + jnp.diag(betas[: m - 1], -1)
+    D, Q = jnp.linalg.eigh(T)
+    q0 = Q[0, :] * nrm
+    y_r = Q @ (jnp.cos(D * dt) * q0)
+    y_i = Q @ (-jnp.sin(D * dt) * q0)
+    out = _krylov_reconstruct(V, y_r, y_i)
+    if renormalize:
+        n2 = jnp.sqrt(pair_norm2(out))
+        inv = 1.0 / jnp.maximum(n2, jnp.finfo(jnp.float32).tiny)
+        out = (out[0] * inv, out[1] * inv)
+    return out
+
+
+def krylov_time_evolve_kron(pair, pmv, dt, kry_m: int = 30,
+                            renormalize: bool = True):
+    return _krylov_kron_evolve(pmv, pair, kry_m, jnp.float32(dt), renormalize)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 4))
+def _krylov_kron_expm_real(pmv, pair, m, tau, renormalize):
+    V, alphas, betas, nrm = _krylov_kron_factorize(pmv, pair, m)
+    T = jnp.diag(alphas)
+    if m > 1:
+        T = T + jnp.diag(betas[: m - 1], 1) + jnp.diag(betas[: m - 1], -1)
+    D, Q = jnp.linalg.eigh(T)
+    # shift-invariant: e^{-tau(D - Dmin)} avoids f32 overflow at large tau
+    y = Q @ (jnp.exp(-tau * (D - D.min())) * (Q[0, :] * nrm))
+    out = (jax.tree_util.tree_map(
+        lambda leaf: jnp.tensordot(y.astype(leaf.dtype), leaf, axes=1), V[0]),
+        jax.tree_util.tree_map(
+        lambda leaf: jnp.tensordot(y.astype(leaf.dtype), leaf, axes=1), V[1]))
+    if renormalize:
+        n2 = jnp.sqrt(pair_norm2(out))
+        inv = 1.0 / jnp.maximum(n2, jnp.finfo(jnp.float32).tiny)
+        out = (out[0] * inv, out[1] * inv)
+    return out
+
+
+def krylov_imaginary_time_evolve_kron(pair, pmv, tau, kry_m: int = 30,
+                                      renormalize: bool = False):
+    """e^{-tau H}|pair> up to an overall scale (the spectrum is shifted by
+    Emin inside for f32 range; thermal-state callers renormalize anyway)."""
+    return _krylov_kron_expm_real(pmv, pair, kry_m, jnp.float32(tau),
+                                  renormalize)
+
+
+def kron_energy_bounds(layout, pmv_or_mv, bounds_m: int = 40, safety=0.02,
+                       key=None):
+    """(Emin, Emax) padded outward — Chebyshev diverges outside [-1, 1]
+    (cf. lanczos.estimate_energy_bounds; ref src/Lanczos.jl:238-254)."""
+    from .lanczos import lanczos_iteration, tridiag_eigh
+
+    mv = getattr(pmv_or_mv, "mv", pmv_or_mv)
+    v0 = bv_random(layout, key if key is not None else jax.random.PRNGKey(7),
+                   jnp.float32)
+    fac = lanczos_iteration(mv, v0, bounds_m)
+    evals, _ = tridiag_eigh(fac.alphas, fac.betas, fac.m_eff)
+    lo, hi = float(evals.min()), float(evals.max())
+    pad = safety * 0.5 * (hi - lo) + 1e-6
+    return (lo - pad, hi + pad)
+
+
+def evolve_trajectory_kron(model, psi0, dt: float, n_steps: int,
+                           cheb_n: int = 60, Ebounds=None, bounds_m: int = 40,
+                           fused: bool = True, observe=None,
+                           record_norm: bool = True, key=None):
+    """Chebyshev trajectory on BlockVec planes with per-step observables.
+
+    The kron-scale version of the reference's flagship demo
+    (examples/example.jl:86-117): domain-wall (or given) start, n_steps of
+    e^{-iH dt}, magnetization per site recorded each step. psi0 may be a
+    BlockVec (real), a (re, im) BlockVec pair, or an int bitstring.
+    Returns (pair, obs [n_steps, ...], info) — info carries the bounds and
+    the norm drift trace (Chebyshev is not unitary at finite cheb_n; the
+    reference hides this by renormalizing only in its Krylov path)."""
+    from ..observables_kron import magnetization_per_site_kron
+    from ..ops.sector_kron import make_sector_kron_layout
+    from .chebyshev import chebyshev_coefficients
+
+    if model.kron_splits is None:
+        raise ValueError("evolve_trajectory_kron needs layout='sector_kron'")
+    lay = make_sector_kron_layout(model, model.kron_splits, model.kron_pads)
+    pmv = kron_planes_matvec_fn(lay, fused=fused)
+    if isinstance(psi0, (int, np.integer)):
+        psi0 = bv_basis_state(lay, int(psi0), jnp.float32)
+    if isinstance(psi0, BlockVec):
+        zero = BlockVec([jnp.zeros_like(l) for l in psi0.leaves])
+        pair = (psi0.astype(jnp.float32), zero)
+    else:
+        pair = (psi0[0].astype(jnp.float32), psi0[1].astype(jnp.float32))
+    if Ebounds is None:
+        Ebounds = kron_energy_bounds(lay, pmv, bounds_m=bounds_m, key=key)
+    coeffs = chebyshev_coefficients(dt, Ebounds[0], Ebounds[1], cheb_n)
+    c, a, b = coeffs
+    c_ri = jnp.asarray(np.stack([c.real, c.imag], axis=1), jnp.float32)
+    ab = (jnp.float32(1.0 / a), jnp.float32(b))
+
+    if observe is None:
+        observe = magnetization_per_site_kron
+
+    @jax.jit
+    def obs_fn(pair):
+        o = observe(pair, lay)
+        return (o, pair_norm2(pair)) if record_norm else (o, jnp.float32(1.0))
+
+    obs, norms = [], []
+    for _ in range(n_steps):
+        pair = _cheb_kron_scan(pmv, pair, c_ri, ab, cheb_n)
+        o, n2 = obs_fn(pair)
+        obs.append(np.asarray(o))
+        norms.append(float(n2) ** 0.5)
+    info = {"Ebounds": Ebounds, "norms": np.asarray(norms),
+            "norm_drift": abs(norms[-1] - 1.0) if norms else 0.0}
+    return pair, np.asarray(obs), info

@@ -1,0 +1,197 @@
+"""BlockVec kron observables + real-time evolution vs the flat-path oracles
+(VERDICT r3 missing-2/3). Reference: src/Observables.jl, examples/example.jl:86-117,
+src/TimeEvolution/{Chebyshev,Krylov}.jl."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import spindynamics_tpu as sd
+from spindynamics_tpu.observables_kron import bv_apply_sz, szsz_matrix_kron
+from spindynamics_tpu.ops.sector_kron import (
+    blocks_to_flat,
+    flat_to_blocks,
+    make_sector_kron_layout,
+)
+from spindynamics_tpu.solvers.blockvec import BlockVec, bv_basis_state, bv_random
+from spindynamics_tpu.solvers.kron_evolve import (
+    chebyshev_time_evolve_kron,
+    evolve_trajectory_kron,
+    kron_energy_bounds,
+    kron_planes_matvec_fn,
+    krylov_imaginary_time_evolve_kron,
+    krylov_time_evolve_kron,
+    pair_norm2,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    L = 12
+    m = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, h=np.linspace(-0.1, 0.2, L),
+                     nup=L // 2, dtype=jnp.float32, layout="sector_kron")
+    lay = make_sector_kron_layout(m, m.kron_splits, m.kron_pads)
+    return m, lay
+
+
+def _random_bv(lay, seed=0):
+    bv = bv_random(lay, jax.random.PRNGKey(seed), jnp.float32)
+    n = float(jnp.sqrt(sum(jnp.vdot(x, x) for x in bv.leaves)))
+    return bv * (1.0 / n)
+
+
+class TestKronObservables:
+    def test_magnetization_matches_flat(self, setup):
+        m, lay = setup
+        bv = _random_bv(lay)
+        flat = blocks_to_flat(bv.leaves, lay)
+        ref = sd.magnetization_per_site(flat, m)
+        got = sd.magnetization_per_site_kron(bv, lay)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+
+    def test_magnetization_pair_input(self, setup):
+        m, lay = setup
+        r, i = _random_bv(lay, 1), _random_bv(lay, 2)
+        flat = blocks_to_flat(r.leaves, lay) + 1j * blocks_to_flat(i.leaves,
+                                                                   lay)
+        ref = sd.magnetization_per_site(flat, m)
+        got = sd.magnetization_per_site_kron((r, i), lay)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+
+    def test_szsz_and_connected_match_flat(self, setup):
+        m, lay = setup
+        bv = _random_bv(lay, 3)
+        flat = blocks_to_flat(bv.leaves, lay)
+        szsz_ref, si_ref = sd.observables.szsz_matrix(flat, m)
+        szsz, si = szsz_matrix_kron(bv, lay)
+        np.testing.assert_allclose(np.asarray(szsz), np.asarray(szsz_ref),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(si), np.asarray(si_ref),
+                                   atol=1e-6)
+        c_ref = sd.connected_correlations(flat, m)
+        c = sd.connected_correlations_kron(bv, lay)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
+                                   atol=1e-6)
+        q_ref, S_ref = sd.structure_factor_Sq(flat, m)
+        q, S = sd.structure_factor_Sq_kron(bv, lay)
+        np.testing.assert_allclose(np.asarray(S), np.asarray(S_ref),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref))
+
+    def test_bv_basis_state_matches_flat_onehot(self, setup):
+        m, lay = setup
+        from spindynamics_tpu.models.initial_states import (
+            domain_wall_bitstring, neel_bitstring)
+
+        for bits in (domain_wall_bitstring(m), neel_bitstring(m)):
+            bv = bv_basis_state(lay, bits, jnp.float32)
+            flat = blocks_to_flat(bv.leaves, lay)
+            ref = sd.basis_state_vector(m, bits, dtype=jnp.float32)
+            np.testing.assert_array_equal(np.asarray(flat), np.asarray(ref))
+
+    def test_bv_apply_sz_matches_flat(self, setup):
+        m, lay = setup
+        bv = _random_bv(lay, 4)
+        flat = blocks_to_flat(bv.leaves, lay)
+        for site in (0, m.L // 2, m.L - 1):
+            ref = sd.apply_spin_operator(flat, m, site, "z")
+            got = blocks_to_flat(bv_apply_sz(bv, lay, site).leaves, lay)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-7)
+
+
+class TestKronEvolution:
+    def test_chebyshev_matches_planes(self, setup):
+        from spindynamics_tpu.solvers.planes import (
+            chebyshev_time_evolve_planes, planes_matvec_fn)
+
+        m, lay = setup
+        bv = _random_bv(lay, 5)
+        flat = blocks_to_flat(bv.leaves, lay)
+        planes = jnp.stack([flat, jnp.zeros_like(flat)])
+        pmv_flat = planes_matvec_fn(m)
+        pmv = kron_planes_matvec_fn(lay, fused=False)
+        Eb = kron_energy_bounds(lay, pmv)
+        pair = (bv, BlockVec([jnp.zeros_like(l) for l in bv.leaves]))
+        for _ in range(3):
+            pair = chebyshev_time_evolve_kron(pair, pmv, 0.1, Eb, cheb_n=24)
+            planes = chebyshev_time_evolve_planes(planes, pmv_flat, 0.1, Eb,
+                                                  cheb_n=24)
+        got_r = blocks_to_flat(pair[0].leaves, lay)
+        got_i = blocks_to_flat(pair[1].leaves, lay)
+        np.testing.assert_allclose(np.asarray(got_r), np.asarray(planes[0]),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(got_i), np.asarray(planes[1]),
+                                   atol=2e-6)
+        # fused (interpret) path agrees too
+        pmv_f = kron_planes_matvec_fn(lay, fused=True)
+        pair2 = (bv, BlockVec([jnp.zeros_like(l) for l in bv.leaves]))
+        for _ in range(3):
+            pair2 = chebyshev_time_evolve_kron(pair2, pmv_f, 0.1, Eb,
+                                               cheb_n=24)
+        np.testing.assert_allclose(
+            np.asarray(blocks_to_flat(pair2[0].leaves, lay)),
+            np.asarray(planes[0]), atol=1e-5)
+
+    def test_krylov_matches_planes(self, setup):
+        from spindynamics_tpu.solvers.planes import (
+            krylov_time_evolve_planes, planes_matvec_fn)
+
+        m, lay = setup
+        bv = _random_bv(lay, 6)
+        flat = blocks_to_flat(bv.leaves, lay)
+        planes = jnp.stack([flat, jnp.zeros_like(flat)])
+        pmv = kron_planes_matvec_fn(lay, fused=False)
+        pair = (bv, BlockVec([jnp.zeros_like(l) for l in bv.leaves]))
+        out = krylov_time_evolve_kron(pair, pmv, 0.15, kry_m=20)
+        ref = krylov_time_evolve_planes(planes, planes_matvec_fn(m), 0.15,
+                                        kry_m=20)
+        np.testing.assert_allclose(
+            np.asarray(blocks_to_flat(out[0].leaves, lay)),
+            np.asarray(ref[0]), atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(blocks_to_flat(out[1].leaves, lay)),
+            np.asarray(ref[1]), atol=5e-6)
+
+    def test_imaginary_time_matches_planes(self, setup):
+        from spindynamics_tpu.solvers.planes import (
+            krylov_imaginary_time_evolve_planes, planes_matvec_fn)
+
+        m, lay = setup
+        bv = _random_bv(lay, 7)
+        flat = blocks_to_flat(bv.leaves, lay)
+        planes = jnp.stack([flat, jnp.zeros_like(flat)])
+        pmv = kron_planes_matvec_fn(lay, fused=False)
+        pair = (bv, BlockVec([jnp.zeros_like(l) for l in bv.leaves]))
+        out = krylov_imaginary_time_evolve_kron(pair, pmv, 0.8, kry_m=25,
+                                                renormalize=True)
+        ref = krylov_imaginary_time_evolve_planes(
+            planes, planes_matvec_fn(m), 0.8, kry_m=25, renormalize=True)
+        np.testing.assert_allclose(
+            np.asarray(blocks_to_flat(out[0].leaves, lay)),
+            np.asarray(ref[0]), atol=2e-5)
+
+    def test_trajectory_magnetization_and_conservation(self, setup):
+        """The flagship demo shape: domain-wall start, magnetization per
+        step; total Sz exactly conserved, norm drift small (ref
+        examples/example.jl:86-117)."""
+        from spindynamics_tpu.models.initial_states import (
+            domain_wall_bitstring)
+        from spindynamics_tpu.solvers.runners import evolve_trajectory_planes
+
+        m, lay = setup
+        bits = domain_wall_bitstring(m)
+        pair, obs, info = evolve_trajectory_kron(m, bits, 0.1, 5, cheb_n=30,
+                                                 fused=False)
+        assert obs.shape == (5, m.L)
+        # total Sz conserved (U(1) sector)
+        np.testing.assert_allclose(obs.sum(axis=1), 0.0, atol=1e-5)
+        assert info["norm_drift"] < 1e-4
+        # against the flat plane driver
+        psi0 = sd.domain_wall_state(m, dtype=jnp.float32)
+        _, obs_ref = evolve_trajectory_planes(
+            m, psi0, 0.1, 5, Ebounds=info["Ebounds"], cheb_n=30)
+        np.testing.assert_allclose(obs, obs_ref, atol=2e-5)
