@@ -169,10 +169,19 @@ def bench_embedded(L, backend, reps, hbm_bw, f32_tflops):
     psi = psi + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (N,), jnp.float32)
     psi = psi / jnp.linalg.norm(psi)
 
+    # couplings are J = 1.0 here (bf16-exact) — the kernel runs 2-pass local
+    # dots; the flag is passed explicitly because model rides through jit as
+    # an ARGUMENT (hop_J traced; const-capture would hit the relay's HTTP
+    # limit at scale — CLAUDE.md)
+    from spindynamics_tpu.ops.pallas_matvec import (
+        _concrete_exact_J, pallas_pass_count)
+
+    exact_J = _concrete_exact_J(model.hop_J)
+
     @partial(jax.jit, static_argnums=(2,))
     def chain(psi, model, rep):
         def body(v, _):
-            w = sd.apply_H(v, model, backend=backend)
+            w = sd.apply_H(v, model, backend=backend, exact_J=exact_J)
             # constant rescale (no norm passes): the chain measures the PURE
             # apply, same idiom as the sector_kron chain above
             return w * jnp.float32(1.0 / 30.0), None
@@ -182,14 +191,19 @@ def bench_embedded(L, backend, reps, hbm_bw, f32_tflops):
 
     per_apply = _slope_time(chain, (psi, model), 2, reps)
     nnz = N * (1.0 + len(model.hop_sites) / 2.0)
-    plan = make_blocked_plan(model)
+    if backend == "pallas":
+        from spindynamics_tpu.ops.pallas_matvec import pallas_default_plan
+
+        plan = pallas_default_plan(model)  # must match the apply's plan
+    else:
+        plan = make_blocked_plan(model)
     n_special = len(plan.special)
     if backend == "pallas":
-        # fused kernel: 1 own read + n_partner partner reads + 1 write, plus
-        # the chain's rescale read+write; MXU = the one-hot flip matmuls
+        # fused kernel roofline: pallas_pass_count effective N-passes (own +
+        # write + partner reads, HALVED for hold-elided specials) + the
+        # chain's rescale read+write; MXU = the one-hot flip matmuls
         # (same max(HBM, flops/f32-grade-rate) convention as sector_kron)
-        n_partner = sum(1 for s in plan.special if s[3] != 0)
-        t_light = max((4 + n_partner) * N * 4 / hbm_bw,
+        t_light = max((pallas_pass_count(plan) + 2) * N * 4 / hbm_bw,
                       embedded_pallas_flops(plan, N) / f32_tflops)
     else:
         t_light = (3 + n_special) * N * 4 / hbm_bw

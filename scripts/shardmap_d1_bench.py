@@ -1,0 +1,86 @@
+"""D=1 shard_map fused-kron apply on the real chip (VERDICT r3 #1 done-bar).
+
+Measures parallel/sharded_kron_scaling's fused path on a ONE-device mesh at
+the flagship size and compares with the direct fused-kernel rate: the D=1
+variant runs the identical Mosaic modules (shifted-BlockSpec crossh) plus the
+shard_map plumbing and trivial psum_scatters, so per-chip parity here means a
+pod run pays only the genuine collective costs.
+
+Usage: L=32 REPS=8 python scripts/shardmap_d1_bench.py
+"""
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("BENCH_CACHE_DIR", "/root/repo/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+import spindynamics_tpu as sd  # noqa: E402
+from spindynamics_tpu.parallel.sharded_kron_scaling import (  # noqa: E402
+    sharded_kron_scaling_matvec_fn)
+from spindynamics_tpu.solvers.blockvec import bv_random  # noqa: E402
+from spindynamics_tpu.ops.sector_kron import (  # noqa: E402
+    blocks_to_flat, make_sector_kron_layout)
+
+
+def main():
+    L = int(os.environ.get("L", "32"))
+    reps = int(os.environ.get("REPS", "8"))
+    m = sd.xxz_chain(L, Jxy=1.0, Jz=0.5, nup=L // 2, dtype=jnp.float32,
+                     layout="sector_kron")
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
+    mv, lay, spec = sharded_kron_scaling_matvec_fn(m, mesh, use_fused=True)
+    # D=1: sharded order == flat kron order modulo per-group concat; build the
+    # state directly on device (no host N-array)
+    v0 = bv_random(lay, jax.random.PRNGKey(0), jnp.float32)
+
+    @jax.jit
+    def to_sharded(bv):
+        return blocks_to_flat([l for l in bv.leaves], lay)
+
+    xs = jax.device_put(to_sharded(v0), NamedSharding(mesh, P("rows")))
+    del v0
+    tables = mv._tables
+
+    @partial(jax.jit, static_argnums=(2,))
+    def chain(psi, tabs, rep):
+        def body(v, _):
+            return mv._jitted(v, tabs) * jnp.float32(1 / 30.0), None
+
+        v, _ = jax.lax.scan(body, psi, None, length=rep)
+        return jnp.sum(v)
+
+    def slope(fn, args, r1, r2):
+        # warm BOTH chain lengths (each rep count is its own compile)
+        float(fn(*args, r1))
+        float(fn(*args, r2))
+        t0 = time.perf_counter()
+        float(fn(*args, r1))
+        t1 = time.perf_counter()
+        float(fn(*args, r2))
+        t2 = time.perf_counter()
+        return max(((t2 - t1) - (t1 - t0)) / (r2 - r1), 1e-12)
+
+    with mesh:
+        per = slope(chain, (xs, tables), 2, reps)
+    nnz = lay.n_basis * (1.0 + len(m.hop_sites) / 2.0)
+    print(json.dumps({
+        "L": L, "D": 1, "per_apply_ms": round(per * 1e3, 3),
+        "gnnz_s": round(nnz / per / 1e9, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

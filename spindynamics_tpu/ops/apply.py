@@ -124,8 +124,13 @@ def apply_H_tensor(psi: jax.Array, model: SpinModel) -> jax.Array:
     return out
 
 
-def apply_H(psi: jax.Array, model: SpinModel, backend: str | None = None) -> jax.Array:
-    """H|psi> (ref: src/Hamiltonian.jl:119 `apply_H!`). Dispatches by mode/backend."""
+def apply_H(psi: jax.Array, model: SpinModel, backend: str | None = None,
+            exact_J: bool | None = None) -> jax.Array:
+    """H|psi> (ref: src/Hamiltonian.jl:119 `apply_H!`). Dispatches by mode/backend.
+
+    exact_J is forwarded to the pallas backend (2-pass local dots for
+    bf16-exact couplings — see ops/pallas_matvec.apply_H_pallas); other
+    backends ignore it."""
     if backend is None:
         if model.mode == "embedded" or (model.mode == "full" and model.nbr is None):
             # fused Pallas kernel on accelerators; blocked XLA on CPU (where
@@ -148,7 +153,7 @@ def apply_H(psi: jax.Array, model: SpinModel, backend: str | None = None) -> jax
     if backend == "pallas":
         from .pallas_matvec import apply_H_pallas
 
-        return apply_H_pallas(psi, model)
+        return apply_H_pallas(psi, model, exact_J=exact_J)
     if backend == "sector_blocked":
         from .sector_blocked import apply_H_sector_blocked, make_sector_blocked_layout
 

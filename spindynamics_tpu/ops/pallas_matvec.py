@@ -54,14 +54,84 @@ from .blocked import BlockedPlan, make_blocked_plan
 __all__ = ["apply_H_pallas", "pallas_supported"]
 
 
+def pallas_default_plan(model: SpinModel) -> BlockedPlan:
+    """Measured-best tile for the fused kernel: w=7 (W=128), t=8 (T=256).
+
+    Round-4 (w, t) study at L=26 on the v5e (scripts/embedded_wt_study.py,
+    warm cache, per-apply slope times):
+
+        (8,8) 5.48 ms 165.4 Gnnz/s 0.883 of max(HBM, MXU)
+        (7,8) 4.20 ms 215.6 Gnnz/s 0.921   <- default
+        (7,7) 4.95 ms 183.0 Gnnz/s 0.695
+        (8,7) 5.74 ms 157.8 Gnnz/s 0.590
+
+    w=7 moves the lane/sublane straddle bond (7, 8) into row space — the
+    (8,8) plan pays a T-dot AND a W-dot for it, w=7 a single [T, T] dot —
+    cutting the kernel's matmul columns from W+T+512 to W+T+256; the extra
+    block-space bond it creates is hold-elided (half a pass). The XLA
+    blocked backend keeps the (8,8) default (its cost model is different)."""
+    L = model.L
+    w = min(7, max(2, L - 2))
+    t = min(8, L - w - 1) if L - w - 1 > 0 else 0
+    return make_blocked_plan(model, w=w, t=t)
+
+
 def pallas_supported(model: SpinModel, plan: BlockedPlan | None = None) -> bool:
     if model.mode not in ("full", "embedded"):
         return False
     if plan is None:
-        plan = make_blocked_plan(model)
+        plan = pallas_default_plan(model)
     if model.L < plan.w + plan.t + 1:
         return False
     return True
+
+
+def _holdable(m_col, m_row, m_blk) -> int:
+    """Low bit position c if this special's partner DMA can be elided for the
+    mask-zero half of the blocks, else -1.
+
+    A bond whose two bits BOTH live in block space with ADJACENT positions
+    (m_col == m_row == 0, m_blk == 0b11 << c — every chain bond beyond
+    w + t + 1) has a PER-BLOCK-SCALAR mask bit_c(b) ^ bit_{c+1}(b) that is
+    zero for exactly half of all blocks (b>>c mod 4 in {0, 3}) — the partner
+    read contributes nothing there. The index map then HOLDS the previous
+    fetched index through the mask-zero runs; Pallas skips the DMA when the
+    block index is unchanged between consecutive grid steps, halving that
+    operand's HBM traffic."""
+    if m_col or m_row or m_blk == 0:
+        return -1
+    c = (m_blk & -m_blk).bit_length() - 1
+    return c if m_blk == (0b11 << c) else -1
+
+
+def pallas_pass_count(plan: BlockedPlan) -> float:
+    """Effective N-passes of one fused apply: 1 own read + 1 write + one
+    partner read per m_blk != 0 special, HALVED for holdable specials (the
+    mask-zero half of their DMAs is elided). The honest HBM-roofline
+    numerator for bench.py."""
+    passes = 2.0
+    for (_b, m_col, m_row, m_blk, _i, _j) in plan.special:
+        if m_blk == 0:
+            continue
+        passes += 0.5 if _holdable(m_col, m_row, m_blk) >= 0 else 1.0
+    return passes
+
+
+def _concrete_exact_J(hop_J) -> bool:
+    """True when hop_J is concrete and every value is exactly
+    bf16-representable (then the 2-pass split dot is f32-grade)."""
+    import jax.core
+
+    if isinstance(hop_J, jax.core.Tracer):
+        return False
+    try:
+        import ml_dtypes
+
+        v = np.asarray(hop_J, np.float32)
+        return bool(np.all(v.astype(ml_dtypes.bfloat16).astype(np.float32)
+                           == v))
+    except Exception:
+        return False
 
 
 def _xor_perm(nbits: int, m: int) -> np.ndarray:
@@ -169,7 +239,8 @@ def _diag_factors(model: SpinModel, plan: BlockedPlan):
     return d_tw, sc, sc_meta
 
 
-def _make_kernel(plan: BlockedPlan, n_partner: int, sc_meta, use_own_flags):
+def _make_kernel(plan: BlockedPlan, n_partner: int, sc_meta, use_own_flags,
+                 exact_J: bool = False):
     w, t = plan.w, plan.t
     T, W = plan.T, plan.W
     specials = plan.special
@@ -213,8 +284,11 @@ def _make_kernel(plan: BlockedPlan, n_partner: int, sc_meta, use_own_flags):
             acc += s_blk * (pat_loc * own)
 
         # ---- local one-hot contractions (f32-grade split dots) ----------
-        acc += _dot_both_split(own, M_cols_ref[...])
-        acc += _dot_both_split(own, M_rows_ref[...], flip=True)
+        # exact_J (host-verified bf16-exact couplings, e.g. J = 1.0): the
+        # table needs no split — 2 MXU passes instead of 3
+        local_dot = _dot_psi_exact if exact_J else _dot_both_split
+        acc += local_dot(own, M_cols_ref[...])
+        acc += local_dot(own, M_rows_ref[...], flip=True)
 
         # ---- block-space bonds -------------------------------------------
         pk = 0
@@ -243,12 +317,19 @@ def apply_H_pallas(
     model: SpinModel,
     plan: BlockedPlan | None = None,
     interpret: bool = False,
+    exact_J: bool | None = None,
 ) -> jax.Array:
     """H|psi> through the fused Pallas kernel (falls back to blocked XLA when
     the structure is unsupported). Complex input runs real and imaginary planes
-    through one pallas_call via a leading plane axis."""
+    through one pallas_call via a leading plane axis.
+
+    exact_J=None auto-detects: when model.hop_J is CONCRETE (matvec_fn
+    closures; not a traced jit argument) and every J is bf16-exact, the big
+    local dots drop from 3 to 2 MXU passes (see _make_kernel). Pass
+    exact_J=True explicitly when the model rides through jit as an argument
+    and the caller knows the couplings are dyadic."""
     if plan is None:
-        plan = make_blocked_plan(model)
+        plan = pallas_default_plan(model)
     if not pallas_supported(model, plan):
         from .blocked import apply_H_blocked
 
@@ -315,10 +396,21 @@ def apply_H_pallas(
     for (bidx, m_col, m_row, m_blk, bi, bj) in specials:
         if m_blk == 0:
             continue  # same-block partner: the kernel reuses `own`
-        c = m_blk
-
-        def partner_map(p, b, c=c):
-            return (p, b ^ c, 0, 0)
+        hold_c = _holdable(m_col, m_row, m_blk)
+        if hold_c >= 0:
+            # mask-zero half of the blocks: HOLD the previously fetched
+            # partner index so the pipeline elides the DMA (see _holdable).
+            # The kernel multiplies the (stale) partner by mask == 0 there.
+            def partner_map(p, b, m=m_blk, c=hold_c):
+                u = b >> c
+                r = u & 3
+                live = (r == 1) | (r == 2)
+                u_hold = jnp.maximum(jnp.where(r == 3, u - 1, u - 2), 0)
+                b_hold = (u_hold << c) | ((1 << c) - 1)
+                return (p, jnp.where(live, b, b_hold) ^ m, 0, 0)
+        else:
+            def partner_map(p, b, m=m_blk):
+                return (p, b ^ m, 0, 0)
 
         in_specs.append(pl.BlockSpec(blk, partner_map, memory_space=pltpu.VMEM))
         inputs.append(x)
@@ -339,7 +431,10 @@ def apply_H_pallas(
             # right-multiplication: out[dst] = sum_src y[src] P[src, dst]
             inputs.append(jnp.asarray(_xor_perm(w, m_col).T.copy()))
 
-    kernel = _make_kernel(plan, n_partner, sc_meta, use_own_flags)
+    if exact_J is None:
+        exact_J = _concrete_exact_J(model.hop_J)
+    kernel = _make_kernel(plan, n_partner, sc_meta, use_own_flags,
+                          exact_J=bool(exact_J))
 
     out = pl.pallas_call(
         kernel,
