@@ -218,7 +218,19 @@ def main(argv=None):
     elif args.cmd == "evolve":
         dt = args.t_max / args.steps
         t0 = time.time()
-        if jax.default_backend() != "cpu" and args.method == "chebyshev":
+        if model.kron_splits is not None and args.method == "chebyshev":
+            # kron BlockVec fast path: fused-kernel Chebyshev on plane pairs
+            # (the L >= 24 flagship layout; solvers/kron_evolve)
+            from .models.initial_states import (
+                domain_wall_bitstring, neel_bitstring)
+
+            bits = (domain_wall_bitstring(model)
+                    if args.state == "domain_wall" else neel_bitstring(model))
+            pair, obs, tinfo = sd.evolve_trajectory_kron(
+                model, bits, dt, args.steps, cheb_n=args.cheb_n)
+            nrm = float(tinfo["norms"][-1])
+            psi_out = np.zeros(0, np.float32)  # BlockVec: no flat dump
+        elif jax.default_backend() != "cpu" and args.method == "chebyshev":
             psi0 = (sd.domain_wall_state if args.state == "domain_wall"
                     else sd.neel_state)(model, dtype=jnp.float32)
             planes, obs = sd.evolve_trajectory_planes(
