@@ -29,10 +29,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
 
 import spindynamics_tpu as sd  # noqa: E402
 from spindynamics_tpu.parallel.sharded_kron_scaling import (  # noqa: E402
-    sharded_kron_scaling_matvec_fn)
-from spindynamics_tpu.solvers.blockvec import bv_random  # noqa: E402
+    shard_kron_blockvec, sharded_kron_scaling_bv_matvec_fn)
+from spindynamics_tpu.solvers.blockvec import BlockVec, bv_random  # noqa: E402
 from spindynamics_tpu.ops.sector_kron import (  # noqa: E402
-    blocks_to_flat, make_sector_kron_layout)
+    make_sector_kron_layout)
 
 
 def main():
@@ -41,26 +41,22 @@ def main():
     m = sd.xxz_chain(L, Jxy=1.0, Jz=0.5, nup=L // 2, dtype=jnp.float32,
                      layout="sector_kron")
     mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
-    mv, lay, spec = sharded_kron_scaling_matvec_fn(m, mesh, use_fused=True)
-    # D=1: sharded order == flat kron order modulo per-group concat; build the
-    # state directly on device (no host N-array)
+    mv, lay, spec = sharded_kron_scaling_bv_matvec_fn(m, mesh, use_fused=True)
     v0 = bv_random(lay, jax.random.PRNGKey(0), jnp.float32)
-
-    @jax.jit
-    def to_sharded(bv):
-        return blocks_to_flat([l for l in bv.leaves], lay)
-
-    xs = jax.device_put(to_sharded(v0), NamedSharding(mesh, P("rows")))
+    sh = NamedSharding(mesh, P("rows"))
+    xs = tuple(jax.device_put(l, sh)
+               for l in shard_kron_blockvec(v0, spec).leaves)
     del v0
     tables = mv._tables
 
     @partial(jax.jit, static_argnums=(2,))
-    def chain(psi, tabs, rep):
+    def chain(leaves, tabs, rep):
         def body(v, _):
-            return mv._jitted(v, tabs) * jnp.float32(1 / 30.0), None
+            out = mv._jitted(v, tabs)
+            return tuple(o * jnp.float32(1 / 30.0) for o in out), None
 
-        v, _ = jax.lax.scan(body, psi, None, length=rep)
-        return jnp.sum(v)
+        v, _ = jax.lax.scan(body, leaves, None, length=rep)
+        return sum(jnp.sum(o) for o in v)
 
     def slope(fn, args, r1, r2):
         # warm BOTH chain lengths (each rep count is its own compile)

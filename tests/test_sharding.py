@@ -552,3 +552,90 @@ class TestShardedKronFused:
         E_c, _, _ = sd.lanczos_groundstate(
             sd.matvec_fn(mc), mc.n_states, lanc_m=80, dtype=jnp.float64)
         assert E_sh == pytest.approx(E_c, abs=5e-4)
+
+
+class TestShardedKronFusedBlockVec:
+    """The BlockVec form of the fused sharded matvec (leaves as whole
+    buffers: no slice copies, no concatenate — the fast form)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        import spindynamics_tpu as sd
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            sharded_kron_scaling_bv_matvec_fn,
+        )
+
+        L = 16
+        fld = np.linspace(-0.2, 0.3, L)
+        m = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, h=fld, nup=L // 2,
+                         dtype=jnp.float32, layout="sector_kron",
+                         kron_splits=(6, 4, 6))
+        m64 = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, h=fld, nup=L // 2,
+                           dtype=jnp.float64, layout="sector_kron",
+                           kron_splits=(6, 4, 6))
+        mesh = Mesh(np.array(jax.devices()), ("rows",))
+        mv, lay, spec = sharded_kron_scaling_bv_matvec_fn(m, mesh,
+                                                          use_fused=True)
+        return m, m64, mesh, mv, lay, spec
+
+    def _sharded_state(self, mesh, spec, bv):
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            shard_kron_blockvec,
+        )
+        from spindynamics_tpu.solvers.blockvec import BlockVec
+
+        sh = NamedSharding(mesh, P("rows"))
+        return BlockVec([jax.device_put(l, sh)
+                         for l in shard_kron_blockvec(bv, spec).leaves])
+
+    def test_matches_x64_oracle(self, setup):
+        from spindynamics_tpu.ops.sector_kron import (
+            apply_H_sector_kron, make_sector_kron_layout)
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            unshard_kron_blockvec,
+        )
+        from spindynamics_tpu.solvers.blockvec import bv_random
+
+        m, m64, mesh, mv, lay, spec = setup
+        bv = bv_random(lay, jax.random.PRNGKey(3), jnp.float32)
+        lay64 = make_sector_kron_layout(m64, m64.kron_splits, m64.kron_pads)
+        y_ref = apply_H_sector_kron([l.astype(jnp.float64) for l in bv.leaves],
+                                    None, lay64)
+        y = unshard_kron_blockvec(mv(self._sharded_state(mesh, spec, bv)),
+                                  spec)
+        scale = max(float(jnp.max(jnp.abs(b))) for b in y_ref)
+        for a, b in zip(y.leaves, y_ref):
+            np.testing.assert_allclose(np.asarray(a, np.float64),
+                                       np.asarray(b), rtol=0,
+                                       atol=1e-5 * scale)
+
+    def test_no_allgather_and_collectives_match_flat_form(self, setup):
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            collective_traffic_model,
+        )
+        from spindynamics_tpu.solvers.blockvec import bv_random
+
+        m, m64, mesh, mv, lay, spec = setup
+        bv = bv_random(lay, jax.random.PRNGKey(4), jnp.float32)
+        xs = self._sharded_state(mesh, spec, bv)
+        txt = mv._jitted.lower(tuple(xs.leaves), mv._tables).compile().as_text()
+        assert "all-gather" not in txt
+        model = collective_traffic_model(lay, spec, mv._cfg)
+        assert txt.count("reduce-scatter(") == model["n_reduce_scatter"]
+
+    def test_groundstate_through_bv_form(self, setup):
+        import spindynamics_tpu as sd
+        from spindynamics_tpu.solvers.blockvec import bv_random
+
+        m, m64, mesh, mv, lay, spec = setup
+        v0 = self._sharded_state(mesh, spec,
+                                 bv_random(lay, jax.random.PRNGKey(5),
+                                           jnp.float32))
+        E_sh, _, info = sd.lanczos_groundstate_twopass(
+            mv, None, lanc_m=50, dtype=jnp.float32, v0=v0)
+        mc = sd.xxz_chain(m.L, Jxy=1.0, Jz=0.7,
+                          h=np.linspace(-0.2, 0.3, m.L), nup=m.L // 2,
+                          dtype=jnp.float64)
+        E_c, _, _ = sd.lanczos_groundstate(
+            sd.matvec_fn(mc), mc.n_states, lanc_m=80, dtype=jnp.float64)
+        assert E_sh == pytest.approx(E_c, abs=5e-4)
