@@ -136,6 +136,56 @@ def bench_sector_kron(L, reps, hbm_bw, f32_tflops, bf16=False):
     }
 
 
+def bench_shardmap_d1(L, reps, hbm_bw, f32_tflops):
+    """The multi-chip fused path on a ONE-device mesh (BlockVec form,
+    parallel/sharded_kron_scaling): per-chip-parity evidence — the same
+    Mosaic modules as the direct kernel plus shard_map plumbing and trivial
+    collectives. vs_baseline uses the direct-kernel roofline, so this row
+    reads as 'fraction of single-chip light speed a pod member would run
+    at before ICI costs'."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import spindynamics_tpu as sd
+    from spindynamics_tpu.ops.sector_kron import (
+        kron_apply_flops, make_sector_kron_layout)
+    from spindynamics_tpu.parallel.sharded_kron_scaling import (
+        shard_kron_blockvec, sharded_kron_scaling_bv_matvec_fn)
+    from spindynamics_tpu.solvers.blockvec import bv_random
+
+    model = sd.xxz_chain(L, Jxy=1.0, Jz=0.5, nup=L // 2, dtype=jnp.float32,
+                         layout="sector_kron")
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
+    mv, lay, spec = sharded_kron_scaling_bv_matvec_fn(model, mesh,
+                                                      use_fused=True)
+    sh = NamedSharding(mesh, P("rows"))
+    xs = tuple(jax.device_put(l, sh) for l in shard_kron_blockvec(
+        bv_random(lay, jax.random.PRNGKey(0), jnp.float32), spec).leaves)
+
+    @partial(jax.jit, static_argnums=(2,))
+    def chain(leaves, tabs, rep):
+        def body(v, _):
+            out = mv._jitted(v, tabs)
+            return tuple(o * jnp.float32(1 / 30.0) for o in out), None
+
+        v, _ = jax.lax.scan(body, leaves, None, length=rep)
+        return sum(jnp.sum(o) for o in v)
+
+    with mesh:
+        per_apply = _slope_time(chain, (xs, mv._tables), 2, reps)
+    nnz = lay.n_basis * (1.0 + len(model.hop_sites) / 2.0)
+    N_pad = lay.n_states
+    t_light = max(2.0 * N_pad * 4 / hbm_bw, kron_apply_flops(lay) / f32_tflops)
+    return {
+        "metric": f"spmv_nnz_per_s_L{L}_Sz0_shardmap_d1_kron",
+        "value": round(nnz / per_apply, 3),
+        "unit": "nnz/s",
+        "vs_baseline": round(t_light / per_apply, 4),
+    }
+
+
 def embedded_pallas_flops(plan, N):
     """Logical MXU flops of one fused embedded apply (ops/pallas_matvec).
 
@@ -239,7 +289,8 @@ def main():
     # matrix tokens: "28" (same backend) or "pallas:26" (explicit backend)
     extra = os.environ.get(
         "BENCH_MATRIX",
-        "28,pallas:26,bf16:32" if backend == "sector_kron" else "")
+        "28,pallas:26,bf16:32,shardmap:32" if backend == "sector_kron"
+        else "")
     reps = int(os.environ.get("BENCH_REPS", "16"))
     hbm_bw = float(os.environ.get("BENCH_HBM_BW", 819e9))  # v5e
     f32_tflops = float(os.environ.get("BENCH_F32_TFLOPS", 35.5e12))
@@ -255,6 +306,8 @@ def main():
         if be in ("sector_kron", "bf16"):
             return bench_sector_kron(int(l), reps, hbm_bw, f32_tflops,
                                      bf16=be == "bf16")
+        if be == "shardmap":
+            return bench_shardmap_d1(int(l), reps, hbm_bw, f32_tflops)
         return bench_embedded(int(l), be, reps, hbm_bw, f32_tflops)
 
     # Headline FIRST, printed the moment it exists — a later timeout cannot

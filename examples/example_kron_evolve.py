@@ -41,8 +41,10 @@ cheb_n = int(sys.argv[4]) if len(sys.argv) > 4 else 30
 t0 = time.time()
 model = sd.xxz_chain(L, Jxy=1.0, Jz=1.0, nup=L // 2, dtype=jnp.float32,
                      layout="sector_kron")
+N_sector = int(sd.sector_dimension(L, L // 2))
 print(json.dumps({"stage": "model", "L": L, "nup": L // 2,
-                  "N": model.n_states, "s": round(time.time() - t0, 1)}),
+                  "N": N_sector, "n_states_padded": model.n_states,
+                  "s": round(time.time() - t0, 1)}),
       flush=True)
 
 t0 = time.time()
@@ -73,11 +75,13 @@ try:
     ax.set_ylabel("site i")
     ax.set_title(
         f"domain-wall melting, L={L} Sz=0 Heisenberg "
-        f"(N={model.n_states:,}), one TPU chip")
+        f"(N={N_sector:,}), one TPU chip")
     fig.colorbar(im, ax=ax, label=r"$\langle S^z_i \rangle$")
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        f"example_kron_evolve_L{L}.png")
     fig.savefig(out, dpi=130)
     print(json.dumps({"stage": "plot", "artifact": out}), flush=True)
+    np.savez(out.replace(".png", ".npz"), magnetization=obs,
+             norms=info["norms"])
 except Exception as e:  # matplotlib optional
     print(json.dumps({"stage": "plot", "skipped": str(e)}), flush=True)
