@@ -46,8 +46,11 @@ print(json.dumps({"stage": "model", "L": L, "N": N_sector, "beta": beta,
 t0 = time.time()
 ts = np.linspace(0.0, t_max, n_t)
 site = L // 2
+# kry_m=14: the Krylov thermal state stores a (2 x kry_m)-vector basis —
+# 20 vectors (~8 GB at L=28 padded) crashed the 16 GB worker; 14 fits with
+# headroom and e^{-beta H/2} converges well below f32 at this tau*width
 C = sd.typicality_correlation_kron(model, beta, site, site, ts,
-                                   kry_m=20, cheb_n=30)
+                                   kry_m=14, cheb_n=30)
 print(json.dumps({
     "stage": "typicality", "site": site, "t": [round(t, 3) for t in ts],
     "C_real": [round(float(c.real), 7) for c in C],
