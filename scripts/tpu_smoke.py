@@ -20,7 +20,7 @@ and flushes incrementally — a dead worker costs one stage one retry, never
 the whole run. Failures are recorded under "errors" instead of aborting.
 
 Usage: python scripts/tpu_smoke.py [--fresh] [--skip-cli]
-       python scripts/tpu_smoke.py --stage {cli,equiv,timing,gs}
+       python scripts/tpu_smoke.py --stage {cli,equiv,timing,gs,evolve,shardmap}
 """
 
 import json
@@ -181,11 +181,66 @@ def stage_gs(results):
     print("gs L24:", results["groundstate_L24"], flush=True)
 
 
+def stage_evolve(results):
+    """Round-4: BlockVec Chebyshev dynamics on chip (solvers/kron_evolve)."""
+    import numpy as np
+
+    import spindynamics_tpu as sd
+    from spindynamics_tpu.models.initial_states import domain_wall_bitstring
+
+    L = 24
+    model, _lay, _t, _v = _kron_setup(L)
+    t0 = time.time()
+    _pair, obs, info = sd.evolve_trajectory_kron(
+        model, domain_wall_bitstring(model), 0.1, 5, cheb_n=24)
+    results["kron_evolve_L24"] = {
+        "norm_drift": float(abs(info["norms"][-1] - 1.0)),
+        "sz_max_abs": float(np.abs(obs.sum(axis=1)).max()),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print("evolve L24:", results["kron_evolve_L24"], flush=True)
+
+
+def stage_shardmap(results):
+    """Round-4: the multi-chip fused path on a 1-device mesh vs the direct
+    kernel (parallel/sharded_kron_scaling BlockVec form)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from spindynamics_tpu.ops.pallas_kron import apply_H_sector_kron_fused
+    from spindynamics_tpu.parallel.sharded_kron_scaling import (
+        shard_kron_blockvec, sharded_kron_scaling_bv_matvec_fn,
+        unshard_kron_blockvec)
+    from spindynamics_tpu.solvers.blockvec import BlockVec
+
+    L = 24
+    model, lay, tables, v = _kron_setup(L)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
+    mv, _, spec = sharded_kron_scaling_bv_matvec_fn(model, mesh)
+    sh = NamedSharding(mesh, P("rows"))
+    xs = BlockVec([jax.device_put(l, sh)
+                   for l in shard_kron_blockvec(v, spec).leaves])
+    t0 = time.time()
+    with mesh:
+        y = unshard_kron_blockvec(mv(xs), spec)
+    y_ref = apply_H_sector_kron_fused(list(v.leaves), lay, tables)
+    num = sum(float(jnp.sum((a - b) ** 2))
+              for a, b in zip(y.leaves, y_ref))
+    den = sum(float(jnp.sum(b ** 2)) for b in y_ref)
+    results["shardmap_d1_L24_rel_l2"] = (num / max(den, 1e-30)) ** 0.5
+    print(f"shardmap d1 rel err {results['shardmap_d1_L24_rel_l2']:.2e} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+
 STAGES = [
     ("cli", "cli_kpm_sqw_L20", stage_cli),
     ("equiv", "fused_vs_xla_L24_rel_l2", stage_equiv),
     ("timing", "fused_L28", stage_timing),
     ("gs", "groundstate_L24", stage_gs),
+    ("evolve", "kron_evolve_L24", stage_evolve),
+    ("shardmap", "shardmap_d1_L24_rel_l2", stage_shardmap),
 ]
 
 
