@@ -111,6 +111,7 @@ from .observables_kron import (
 )
 from .solvers.blockvec import BlockVec, bv_basis_state, bv_random
 from .solvers.kron_evolve import (
+    chebyshev_imaginary_time_kron,
     chebyshev_time_evolve_kron,
     evolve_trajectory_kron,
     kron_energy_bounds,

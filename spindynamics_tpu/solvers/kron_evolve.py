@@ -31,6 +31,7 @@ __all__ = [
     "chebyshev_time_evolve_kron",
     "krylov_time_evolve_kron",
     "krylov_imaginary_time_evolve_kron",
+    "chebyshev_imaginary_time_kron",
     "kron_energy_bounds",
     "evolve_trajectory_kron",
     "typicality_correlation_kron",
@@ -215,9 +216,69 @@ def _krylov_kron_expm_real(pmv, pair, m, tau, renormalize):
 def krylov_imaginary_time_evolve_kron(pair, pmv, tau, kry_m: int = 30,
                                       renormalize: bool = False):
     """e^{-tau H}|pair> up to an overall scale (the spectrum is shifted by
-    Emin inside for f32 range; thermal-state callers renormalize anyway)."""
+    Emin inside for f32 range; thermal-state callers renormalize anyway).
+
+    Stores a 2*kry_m-vector basis (scan-stacked leaves): at L=28 padded
+    (0.2 GB/plane) kry_m=20 is ~8 GB and crashed the 16 GB relay worker —
+    prefer chebyshev_imaginary_time_kron at large L (O(3 pairs) memory)."""
     return _krylov_kron_expm_real(pmv, pair, kry_m, jnp.float32(tau),
                                   renormalize)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _cheb_real_apply(mv, bv, coeffs, n, ab):
+    """sum_k c_k T_k(H~) |bv> for REAL coefficients on one BlockVec."""
+    a_inv, b = ab
+
+    def mvr(v):
+        return (mv(v) - b * v) * a_inv
+
+    prev = bv
+    acc = prev * coeffs[0]
+    curr = mvr(prev)
+    acc = acc + curr * coeffs[1]
+
+    def step(carry, c):
+        p, q, acc = carry
+        nx = mvr(q) * 2.0 - p
+        return (q, nx, acc + nx * c), None
+
+    if n > 2:
+        (_, _, acc), _ = jax.lax.scan(step, (prev, curr, acc), coeffs[2:])
+    return acc
+
+
+def chebyshev_imaginary_time_kron(pair, pmv, tau, Ebounds,
+                                  cheb_n: int | None = None,
+                                  renormalize: bool = True):
+    """e^{-tau H}|pair> up to an overall positive scale via the Chebyshev
+    expansion e^{-tau a x} = I_0 + 2 sum_k (-1)^k I_k(tau a) T_k(x) —
+    memory O(3 plane pairs) regardless of tau (no stored Krylov basis; the
+    thermal-state builder for L >= 28, where the Krylov variant's basis
+    crashes the 16 GB worker). Coefficients use exponentially scaled Bessel
+    I (scipy ive), so the overall e^{tau a - tau b} factor is dropped —
+    exact after renormalization. cheb_n defaults to ~4*tau*a + 40 (the
+    series converges superexponentially past k ~ tau*a)."""
+    from scipy.special import ive
+
+    lo, hi = Ebounds
+    a = (hi - lo) / 2.0
+    b = (hi + lo) / 2.0
+    z = float(tau) * a
+    if cheb_n is None:
+        cheb_n = int(4 * z) + 40
+    k = np.arange(cheb_n)
+    c = (2.0 - (k == 0)) * ((-1.0) ** k) * ive(k, z)
+    coeffs = jnp.asarray(c, jnp.float32)
+    ab = (jnp.float32(1.0 / a), jnp.float32(b))
+    mv = getattr(pmv, "mv", pmv)
+    out = (_cheb_real_apply(mv, pair[0], coeffs, cheb_n, ab),
+           _cheb_real_apply(mv, pair[1], coeffs, cheb_n, ab))
+    if renormalize:
+        inv = 1.0 / jnp.sqrt(jnp.maximum(pair_norm2(out),
+                                         jnp.finfo(jnp.float32).tiny))
+        out = (out[0] * inv, out[1] * inv)
+    return out
 
 
 def kron_energy_bounds(layout, pmv_or_mv, bounds_m: int = 40, safety=0.02,
@@ -239,7 +300,7 @@ def kron_energy_bounds(layout, pmv_or_mv, bounds_m: int = 40, safety=0.02,
 def typicality_correlation_kron(
     model, beta: float, site_a: int, site_b: int, t_points,
     kry_m: int = 30, cheb_n: int = 60, Ebounds=None, key=None,
-    fused: bool = True, r0=None,
+    fused: bool = True, r0=None, imag_method: str = "chebyshev",
 ):
     """<Sz_a(t) Sz_b(0)>_beta by quantum typicality at kron BlockVec scale
     (VERDICT r3 next-7; completes BASELINE config #4 at the flagship layout).
@@ -268,10 +329,19 @@ def typicality_correlation_kron(
         r0 = (bv_random(lay, kr, jnp.float32), bv_random(lay, ki, jnp.float32))
     inv = 1.0 / jnp.sqrt(pair_norm2(r0))
     pair = (r0[0] * inv, r0[1] * inv)
-    psi_b = krylov_imaginary_time_evolve_kron(pair, pmv, beta / 2.0,
-                                              kry_m=kry_m, renormalize=True)
     if Ebounds is None:
         Ebounds = kron_energy_bounds(lay, pmv, key=key)
+    if imag_method == "chebyshev":
+        # O(3 pairs) memory — the large-L default (the Krylov basis at
+        # L=28 padded is ~0.4 GB x kry_m and crashes the 16 GB worker)
+        psi_b = chebyshev_imaginary_time_kron(pair, pmv, beta / 2.0, Ebounds,
+                                              renormalize=True)
+    elif imag_method == "krylov":
+        psi_b = krylov_imaginary_time_evolve_kron(pair, pmv, beta / 2.0,
+                                                  kry_m=kry_m,
+                                                  renormalize=True)
+    else:
+        raise ValueError(f"unknown imag_method {imag_method!r}")
     phi = (bv_apply_sz(psi_b[0], lay, site_b),
            bv_apply_sz(psi_b[1], lay, site_b))
     xi = psi_b

@@ -262,3 +262,23 @@ class TestShardedKronObservables:
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(si), np.asarray(si_ref),
                                    atol=1e-6)
+
+
+def test_chebyshev_imaginary_time_matches_krylov(setup):
+    """The O(3)-vector Chebyshev thermal-state builder agrees with the
+    Krylov variant (both converge to e^{-tau H}|r> / norm)."""
+    from spindynamics_tpu.solvers.kron_evolve import (
+        chebyshev_imaginary_time_kron, kron_energy_bounds,
+        krylov_imaginary_time_evolve_kron)
+
+    m, lay = setup
+    pmv = kron_planes_matvec_fn(lay, fused=False)
+    r = (_random_bv(lay, 21), _random_bv(lay, 22))
+    Eb = kron_energy_bounds(lay, pmv)
+    a = chebyshev_imaginary_time_kron(r, pmv, 0.6, Eb)
+    b = krylov_imaginary_time_evolve_kron(r, pmv, 0.6, kry_m=30,
+                                          renormalize=True)
+    for pa, pb in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(blocks_to_flat(pa.leaves, lay)),
+            np.asarray(blocks_to_flat(pb.leaves, lay)), atol=3e-6)
