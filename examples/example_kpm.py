@@ -19,6 +19,29 @@ def main(L=8, n_moments=200, n_omega=300):
     a, b = sd.rescaling_params(Emin, Emax)
     print(f"E0 = {E0:.6f}, bounds [{Emin:.4f}, {Emax:.4f}]")
 
+    # sparse/Arnoldi cross-check (parity with examples/example_kpm.jl:29-65:
+    # sparse H from matvec columns + ArnoldiMethod partialschur): build H
+    # column-by-column from the SAME matvec closure and compare E0/Emax
+    # against scipy's implicitly restarted Arnoldi.
+    try:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        N = model.n_states
+        cols = [np.asarray(mv(jnp.zeros(N, dtype).at[j].set(1)))
+                for j in range(N)]
+        H = sp.csr_matrix(np.stack(cols, axis=1))
+        e_lo = float(spla.eigsh(H, k=1, which="SA",
+                                return_eigenvectors=False)[0])
+        e_hi = float(spla.eigsh(H, k=1, which="LA",
+                                return_eigenvectors=False)[0])
+        print(f"Arnoldi cross-check: E0 {e_lo:.6f} (diff {abs(e_lo-E0):.2e}),"
+              f" Emax {e_hi:.6f}")
+        assert abs(e_lo - E0) < 1e-6 * max(1.0, abs(E0))
+        assert e_hi <= Emax + 1e-8  # bounds must enclose the spectrum
+    except ImportError:
+        print("scipy unavailable; Arnoldi cross-check skipped")
+
     omega = np.linspace(Emin, Emax, n_omega)
     psi0c = jnp.asarray(np.asarray(psi0) + 0j)
     C_auto = []
