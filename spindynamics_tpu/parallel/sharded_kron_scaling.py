@@ -402,14 +402,20 @@ def _hi_terms_z(gi, G, tabs, lay, spec, d, rdtype, include_cross=True,
         key_hi, runs_hi = fac[2]
         schp = spec.ch_pad[g_src]
         if runs_hi is not None:
-            guard = schp + chp
+            # Zext must contain the WHOLE update wherever it lands:
+            # start = d*b_src + (c0 - r0) + schp ranges over
+            # [d*b_src - schp + 1, (D-1)*b_src + chp + schp], so the update
+            # end reaches 2*schp + chp. An undersized buffer makes
+            # dynamic_update_slice CLAMP the start and place the slab on the
+            # WRONG rows — hit by k_h-max destination groups (schp > chp)
+            # at D=1 (caught by the round-4 shardmap smoke stage).
             for (r0, c0, ln, val) in runs_hi:
                 idx = d * spec.b[g_src] + jnp.arange(spec.b[g_src])
                 msk = ((idx >= r0) & (idx < r0 + ln)).astype(rdtype)
                 Xm = X * msk[:, None, None].astype(X.dtype)
                 if val != 1.0:
                     Xm = jnp.asarray(val, rdtype).astype(X.dtype) * Xm
-                Zext = jnp.zeros((guard + chp,) + Xm.shape[1:], Xm.dtype)
+                Zext = jnp.zeros((2 * schp + chp,) + Xm.shape[1:], Xm.dtype)
                 start = (d * spec.b[g_src] + (c0 - r0) + schp).astype(
                     jnp.int32)
                 zeros_i = (jnp.zeros((), jnp.int32),) * (Xm.ndim - 1)

@@ -639,3 +639,47 @@ class TestShardedKronFusedBlockVec:
         E_c, _, _ = sd.lanczos_groundstate(
             sd.matvec_fn(mc), mc.n_states, lanc_m=80, dtype=jnp.float64)
         assert E_sh == pytest.approx(E_c, abs=5e-4)
+
+
+def test_zext_guard_regression_khmax_tail_groups(rng):
+    """Regression (round-4 shardmap smoke catch): the hi-run Zext scratch in
+    _hi_terms_z must contain the update wherever it lands — with a SOURCE hi
+    axis larger than the destination's (k_h-max groups) and small D, an
+    undersized buffer made dynamic_update_slice clamp the start and place
+    the slab on the WRONG rows (rel err 2e-2 at L=24 D=1). Force tail
+    groups with a small top_k so the XLA Zext path runs."""
+    import spindynamics_tpu as sd
+    from spindynamics_tpu.ops.sector_kron import (
+        apply_H_sector_kron, make_sector_kron_layout)
+    from spindynamics_tpu.parallel.sharded_kron_scaling import (
+        shard_kron_blockvec, sharded_kron_scaling_bv_matvec_fn,
+        unshard_kron_blockvec)
+    from spindynamics_tpu.solvers.blockvec import BlockVec
+
+    L = 14
+    m = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, nup=L // 2, dtype=jnp.float32,
+                     layout="sector_kron", kron_splits=(6, 4, 4))
+    m64 = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, nup=L // 2, dtype=jnp.float64,
+                       layout="sector_kron", kron_splits=(6, 4, 4))
+    lay = make_sector_kron_layout(m, m.kron_splits, m.kron_pads)
+    lay64 = make_sector_kron_layout(m64, m64.kron_splits, m64.kron_pads)
+    x = jnp.asarray(rng.standard_normal(lay.n_states), jnp.float32)
+    x = jnp.where(m.valid_mask(), x, 0.0)
+    from spindynamics_tpu.ops.sector_kron import flat_to_blocks
+
+    bv = BlockVec(flat_to_blocks(x, lay))
+    y_ref = apply_H_sector_kron([l.astype(jnp.float64) for l in bv.leaves],
+                                None, lay64)
+    scale = max(float(jnp.max(jnp.abs(b))) for b in y_ref)
+    for D in (1, 2):
+        mesh = Mesh(np.array(jax.devices()[:D]), ("rows",))
+        mv, _, spec = sharded_kron_scaling_bv_matvec_fn(m, mesh, top_k=8)
+        sh = NamedSharding(mesh, P("rows"))
+        xs = BlockVec([jax.device_put(l, sh)
+                       for l in shard_kron_blockvec(bv, spec).leaves])
+        with mesh:
+            y = unshard_kron_blockvec(mv(xs), spec)
+        for a, b in zip(y.leaves, y_ref):
+            np.testing.assert_allclose(np.asarray(a, np.float64),
+                                       np.asarray(b), rtol=0,
+                                       atol=1e-5 * scale)
