@@ -32,17 +32,12 @@ from spindynamics_tpu.ops.pallas_matvec import (  # noqa: E402
     apply_H_pallas, pallas_pass_count)
 
 
+from spindynamics_tpu.utils.profiling import slope_timer  # noqa: E402
+
+
 def slope_time(fn, args, r1, r2):
-    # warm BOTH chain lengths before timing (each rep count is its own
-    # compile; timing an unwarmed length measures the compile, not the chip)
-    float(fn(*args, r1))
-    float(fn(*args, r2))
-    t0 = time.perf_counter()
-    float(fn(*args, r1))
-    t1 = time.perf_counter()
-    float(fn(*args, r2))
-    t2 = time.perf_counter()
-    return max(((t2 - t1) - (t1 - t0)) / (r2 - r1), 1e-12)
+    # canonical warm-both-lengths slope timing (utils/profiling)
+    return max(slope_timer(fn, *args, r0=r1, r1=r2), 1e-12)
 
 
 def main():

@@ -38,13 +38,14 @@ from spindynamics_tpu.ops.sector_kron import (  # noqa: E402
 def main():
     L = int(os.environ.get("L", "32"))
     reps = int(os.environ.get("REPS", "8"))
-    m = sd.xxz_chain(L, Jxy=1.0, Jz=0.5, nup=L // 2, dtype=jnp.float32,
+    dtype = jnp.bfloat16 if os.environ.get("DTYPE") == "bf16" else jnp.float32
+    m = sd.xxz_chain(L, Jxy=1.0, Jz=0.5, nup=L // 2, dtype=dtype,
                      layout="sector_kron")
     mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
     mv, lay, spec = sharded_kron_scaling_bv_matvec_fn(m, mesh, use_fused=True)
     v0 = bv_random(lay, jax.random.PRNGKey(0), jnp.float32)
     sh = NamedSharding(mesh, P("rows"))
-    xs = tuple(jax.device_put(l, sh)
+    xs = tuple(jax.device_put(l.astype(dtype), sh)
                for l in shard_kron_blockvec(v0, spec).leaves)
     del v0
     tables = mv._tables
@@ -53,27 +54,24 @@ def main():
     def chain(leaves, tabs, rep):
         def body(v, _):
             out = mv._jitted(v, tabs)
-            return tuple(o * jnp.float32(1 / 30.0) for o in out), None
+            return tuple((o.astype(jnp.float32) * jnp.float32(1 / 30.0)
+                          ).astype(o.dtype) for o in out), None
 
         v, _ = jax.lax.scan(body, leaves, None, length=rep)
         return sum(jnp.sum(o) for o in v)
 
+    from spindynamics_tpu.utils.profiling import slope_timer
+
     def slope(fn, args, r1, r2):
-        # warm BOTH chain lengths (each rep count is its own compile)
-        float(fn(*args, r1))
-        float(fn(*args, r2))
-        t0 = time.perf_counter()
-        float(fn(*args, r1))
-        t1 = time.perf_counter()
-        float(fn(*args, r2))
-        t2 = time.perf_counter()
-        return max(((t2 - t1) - (t1 - t0)) / (r2 - r1), 1e-12)
+        # canonical warm-both-lengths slope timing (utils/profiling)
+        return max(slope_timer(fn, *args, r0=r1, r1=r2), 1e-12)
 
     with mesh:
         per = slope(chain, (xs, tables), 2, reps)
     nnz = lay.n_basis * (1.0 + len(m.hop_sites) / 2.0)
     print(json.dumps({
-        "L": L, "D": 1, "per_apply_ms": round(per * 1e3, 3),
+        "L": L, "D": 1, "dtype": str(jnp.dtype(dtype)),
+        "per_apply_ms": round(per * 1e3, 3),
         "gnnz_s": round(nnz / per / 1e9, 1),
     }), flush=True)
 

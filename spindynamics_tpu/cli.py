@@ -220,16 +220,27 @@ def main(argv=None):
         t0 = time.time()
         if model.kron_splits is not None and args.method == "chebyshev":
             # kron BlockVec fast path: fused-kernel Chebyshev on plane pairs
-            # (the L >= 24 flagship layout; solvers/kron_evolve)
+            # (the L >= 24 flagship layout; solvers/kron_evolve). On CPU the
+            # Pallas interpreter would be the slowest path — use the XLA
+            # blocks apply there (fused=False), same math.
             from .models.initial_states import (
                 domain_wall_bitstring, neel_bitstring)
 
             bits = (domain_wall_bitstring(model)
                     if args.state == "domain_wall" else neel_bitstring(model))
             pair, obs, tinfo = sd.evolve_trajectory_kron(
-                model, bits, dt, args.steps, cheb_n=args.cheb_n)
+                model, bits, dt, args.steps, cheb_n=args.cheb_n,
+                fused=jax.default_backend() != "cpu")
             nrm = float(tinfo["norms"][-1])
-            psi_out = np.zeros(0, np.float32)  # BlockVec: no flat dump
+            # flat dump of the final state planes (consumers of the npz
+            # 'psi' key get real data, not a zero-length placeholder)
+            from .ops.sector_kron import blocks_to_flat, make_sector_kron_layout
+
+            _lay = make_sector_kron_layout(model, model.kron_splits,
+                                           model.kron_pads)
+            psi_out = np.stack([
+                np.asarray(blocks_to_flat(pair[0].leaves, _lay)),
+                np.asarray(blocks_to_flat(pair[1].leaves, _lay))])
         elif jax.default_backend() != "cpu" and args.method == "chebyshev":
             psi0 = (sd.domain_wall_state if args.state == "domain_wall"
                     else sd.neel_state)(model, dtype=jnp.float32)

@@ -54,14 +54,12 @@ def _sz_tables(layout: SectorKronLayout):
     L1, L2, L3 = layout.splits
     plen = (L1, L2, L3)
     perms = kron_part_perms(layout.splits)
-    pads = []
     # padded axis lengths by part come from the group tuples
     ks = [set(), set(), set()]
     pad_of = [{}, {}, {}]
     for (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in layout.groups:
         ks[0].add(k_l); ks[1].add(k_m); ks[2].add(k_h)
         pad_of[0][k_l] = clp; pad_of[1][k_m] = cmp; pad_of[2][k_h] = ch
-    del pads
     out = [{}, {}, {}]
     for p in range(3):
         for k in sorted(ks[p]):
@@ -173,10 +171,14 @@ def connected_correlations_kron(x, layout: SectorKronLayout) -> jax.Array:
 
 
 def structure_factor_Sq_kron(x, layout: SectorKronLayout):
-    """S(q) = FFT_r C_r at q = 2 pi n / L (ref: src/Observables.jl:101-110)."""
-    C_r = connected_correlations_kron(x, layout)
-    S_q = jnp.real(jnp.fft.fft(C_r))
-    q = 2.0 * jnp.pi * jnp.arange(layout.L) / layout.L
+    """S(q) = FFT_r C_r at q = 2 pi n / L (ref: src/Observables.jl:101-110).
+
+    The length-L FFT runs on HOST numpy: the relay backend cannot execute
+    eager complex ops (creation included — CLAUDE.md), and C_r is L scalars.
+    Returns host numpy arrays."""
+    C_r = np.asarray(connected_correlations_kron(x, layout))
+    S_q = np.real(np.fft.fft(C_r))
+    q = 2.0 * np.pi * np.arange(layout.L) / layout.L
     return q, S_q
 
 
@@ -258,9 +260,16 @@ def szsz_matrix_kron_sharded(psi_sh, spec, mesh, axis_name: str = "rows"):
         return (jax.lax.psum(szsz, axis_name),
                 jax.lax.psum(si, axis_name))
 
-    mapped = jax.shard_map(local, mesh=mesh, in_specs=P(axis_name),
-                           out_specs=(P(), P()))
-    return jax.jit(mapped)(psi_sh)
+    cache = getattr(spec, "_szsz_jit_cache", None)
+    if cache is None:
+        cache = spec._szsz_jit_cache = {}
+    key = (mesh, axis_name)
+    if key not in cache:
+        # cache the jitted shard_map per (spec, mesh, axis): a fresh closure
+        # per call would retrace (and remote-recompile) every measurement
+        cache[key] = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=P(axis_name), out_specs=(P(), P())))
+    return cache[key](psi_sh)
 
 
 def magnetization_per_site_kron_sharded(psi_sh, spec, mesh,

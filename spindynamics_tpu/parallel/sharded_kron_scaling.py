@@ -330,6 +330,10 @@ def _local_apply(blk, windows, tabs, spec: KronShardSpec, axis_name: str,
         if Z is not None:
             acc = acc + jax.lax.psum_scatter(
                 Z, axis_name, scatter_dimension=0, tiled=True)
+        if cfg is not None:
+            # bf16 amplitude mode: XLA tail accumulates f32; cast back so
+            # fused and tail leaves share the state dtype
+            acc = acc.astype(cfg.state_dtype)
         outs.append(acc if leaves_in else acc.reshape(-1))
     return tuple(outs) if leaves_in else jnp.concatenate(outs)
 
@@ -603,7 +607,7 @@ def sharded_kron_scaling_matvec_fn(model: SpinModel, mesh,
     rdtype = model.dtype if model.dtype in (jnp.float32, jnp.float64) \
         else jnp.float32
     if use_fused is None:
-        use_fused = jnp.dtype(model.dtype) == jnp.float32
+        use_fused = jnp.dtype(model.dtype) in (jnp.float32, jnp.bfloat16)
     cfg = None
     if use_fused:
         import os
@@ -704,11 +708,15 @@ def sharded_kron_scaling_bv_matvec_fn(model: SpinModel, mesh,
     rdtype = model.dtype if model.dtype in (jnp.float32, jnp.float64) \
         else jnp.float32
     if use_fused is None:
-        use_fused = jnp.dtype(model.dtype) == jnp.float32
+        use_fused = jnp.dtype(model.dtype) in (jnp.float32, jnp.bfloat16)
     cfg = None
     if use_fused:
         import os
 
+        if jnp.dtype(model.dtype) not in (jnp.float32, jnp.bfloat16):
+            raise ValueError(
+                "use_fused requires an f32 or bf16 model dtype; the x64 "
+                "validation path runs with use_fused=False")
         if top_k is None:
             top_k = int(os.environ.get("SDTPU_FUSED_TOPK", "32"))
         cfg = _FusedCfg(layout, spec, top_k,

@@ -103,7 +103,10 @@ def lanczos_sqw(
     pole weights. The q axis is vmapped into one batched recurrence."""
     psi0 = jnp.asarray(psi0)
     if (not jnp.iscomplexobj(psi0) and psi0.ndim == 1
+            and psi0.dtype == jnp.float32
             and jax.default_backend() != "cpu"):
+        # f32 only: an f64 state on a backend that supports it (GPU) keeps
+        # the complex128 path and its tol; f64 on TPU errors regardless
         # Accelerator path for real states: the complex-free plane variant —
         # no library entry point may create complex buffers eagerly (the
         # local relay cannot). Same auto-routing as kpm_sqw (the r3 asymmetry

@@ -683,3 +683,42 @@ def test_zext_guard_regression_khmax_tail_groups(rng):
             np.testing.assert_allclose(np.asarray(a, np.float64),
                                        np.asarray(b), rtol=0,
                                        atol=1e-5 * scale)
+
+
+def test_sharded_bv_bf16_amplitude_mode(rng):
+    """bf16 amplitude mode on the sharded BV path: half HBM AND half ICI
+    per apply; f32 in-kernel accumulation keeps the error at the bf16
+    representation level (same bound as the single-chip mode)."""
+    import spindynamics_tpu as sd
+    from spindynamics_tpu.ops.sector_kron import (
+        apply_H_sector_kron, flat_to_blocks, make_sector_kron_layout)
+    from spindynamics_tpu.parallel.sharded_kron_scaling import (
+        shard_kron_blockvec, sharded_kron_scaling_bv_matvec_fn,
+        unshard_kron_blockvec)
+    from spindynamics_tpu.solvers.blockvec import BlockVec
+
+    L = 14
+    m = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, nup=L // 2, dtype=jnp.bfloat16,
+                     layout="sector_kron", kron_splits=(6, 4, 4))
+    m64 = sd.xxz_chain(L, Jxy=1.0, Jz=0.7, nup=L // 2, dtype=jnp.float64,
+                       layout="sector_kron", kron_splits=(6, 4, 4))
+    lay = make_sector_kron_layout(m, m.kron_splits, m.kron_pads)
+    lay64 = make_sector_kron_layout(m64, m64.kron_splits, m64.kron_pads)
+    x = jnp.asarray(rng.standard_normal(lay.n_states), jnp.float32)
+    x = jnp.where(m.valid_mask(), x, 0.0)
+    bv = BlockVec(flat_to_blocks(x, lay)).astype(jnp.bfloat16)
+    y_ref = apply_H_sector_kron(
+        [l.astype(jnp.float64) for l in bv.leaves], None, lay64)
+    scale = max(float(jnp.max(jnp.abs(b))) for b in y_ref)
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    mv, _, spec = sharded_kron_scaling_bv_matvec_fn(m, mesh)
+    assert mv._cfg is not None and mv._cfg.state_dtype == jnp.bfloat16
+    sh = NamedSharding(mesh, P("rows"))
+    xs = BlockVec([jax.device_put(l, sh)
+                   for l in shard_kron_blockvec(bv, spec).leaves])
+    with mesh:
+        y = unshard_kron_blockvec(mv(xs), spec)
+    assert y.leaves[0].dtype == jnp.bfloat16
+    for a, b in zip(y.leaves, y_ref):
+        np.testing.assert_allclose(np.asarray(a, np.float64), np.asarray(b),
+                                   rtol=0, atol=2e-2 * scale)
