@@ -197,9 +197,13 @@ def bv_apply_sz(x: BlockVec, layout: SectorKronLayout, site: int) -> BlockVec:
     return BlockVec(leaves)
 
 
-def szsz_matrix_kron_sharded(psi_sh, spec, mesh, axis_name: str = "rows"):
+def szsz_matrix_kron_sharded(x, spec, mesh, axis_name: str = "rows"):
     """(SzSz[i, j], S_i) from a BLOCK-DISTRIBUTED sharded kron state
     (parallel/sharded_kron_scaling layout) WITHOUT gathering it.
+
+    `x` is a flat sharded vector [D*local_len], a BlockVec in sharded form
+    (leaves [D*b_g, cmp, clp], P(rows)), or an (re, im) pair of such
+    BlockVecs (the sharded evolution driver's state).
 
     Every marginal is linear in |psi|^2, so each device computes its
     contributions from its local hi-rows (hi-axis Sz tables sliced per
@@ -213,6 +217,8 @@ def szsz_matrix_kron_sharded(psi_sh, spec, mesh, axis_name: str = "rows"):
     import jax
     from jax.sharding import PartitionSpec as P
 
+    from .solvers.blockvec import BlockVec
+
     lay = spec.layout
     sz = _sz_tables(lay)
     L1, L2, L3 = lay.splits
@@ -220,7 +226,20 @@ def szsz_matrix_kron_sharded(psi_sh, spec, mesh, axis_name: str = "rows"):
     off = (0, L1, L1 + L2)
     lens = (L1, L2, L3)
 
-    def local(blk):
+    if isinstance(x, tuple):
+        kind = "pair"
+        args = (tuple(x[0].leaves), tuple(x[1].leaves))
+        in_specs = ((P(axis_name),) * len(lay.groups),) * 2
+    elif isinstance(x, BlockVec):
+        kind = "leaves"
+        args = (tuple(x.leaves),)
+        in_specs = ((P(axis_name),) * len(lay.groups),)
+    else:
+        kind = "flat"
+        args = (x,)
+        in_specs = (P(axis_name),)
+
+    def local(*blk):
         d = jax.lax.axis_index(axis_name).astype(jnp.int32)
         szsz = jnp.zeros((L, L), jnp.float32)
         si_parts = [jnp.zeros((L1,), jnp.float32),
@@ -229,8 +248,16 @@ def szsz_matrix_kron_sharded(psi_sh, spec, mesh, axis_name: str = "rows"):
         for gi, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in enumerate(lay.groups):
             lo = spec.local_offsets[gi]
             b = spec.b[gi]
-            T = blk[lo: lo + b * cmp * clp].reshape(b, cmp, clp)
-            p_leaf = T * T
+            if kind == "flat":
+                T = blk[0][lo: lo + b * cmp * clp].reshape(b, cmp, clp)
+                p_leaf = (T * T).astype(jnp.float32)
+            elif kind == "leaves":
+                T = blk[0][gi].astype(jnp.float32)
+                p_leaf = T * T
+            else:
+                r = blk[0][gi].astype(jnp.float32)
+                i = blk[1][gi].astype(jnp.float32)
+                p_leaf = r * r + i * i
             kp = (k_l, k_m, k_h)
             S = [jnp.asarray(sz[p][kp[p]], jnp.float32) for p in range(3)]
             # device-local rows of the hi table (pad like the sharded diag)
@@ -263,19 +290,20 @@ def szsz_matrix_kron_sharded(psi_sh, spec, mesh, axis_name: str = "rows"):
     cache = getattr(spec, "_szsz_jit_cache", None)
     if cache is None:
         cache = spec._szsz_jit_cache = {}
-    key = (mesh, axis_name)
+    key = (mesh, axis_name, kind)
     if key not in cache:
-        # cache the jitted shard_map per (spec, mesh, axis): a fresh closure
-        # per call would retrace (and remote-recompile) every measurement
+        # cache the jitted shard_map per (spec, mesh, axis, input kind): a
+        # fresh closure per call would retrace (and remote-recompile) every
+        # measurement
         cache[key] = jax.jit(jax.shard_map(
-            local, mesh=mesh, in_specs=P(axis_name), out_specs=(P(), P())))
-    return cache[key](psi_sh)
+            local, mesh=mesh, in_specs=in_specs, out_specs=(P(), P())))
+    return cache[key](*args)
 
 
-def magnetization_per_site_kron_sharded(psi_sh, spec, mesh,
+def magnetization_per_site_kron_sharded(x, spec, mesh,
                                         axis_name: str = "rows"):
     """<Sz_i> from a block-distributed sharded kron state (no gather)."""
-    _, si = szsz_matrix_kron_sharded(psi_sh, spec, mesh, axis_name)
+    _, si = szsz_matrix_kron_sharded(x, spec, mesh, axis_name)
     return si
 
 

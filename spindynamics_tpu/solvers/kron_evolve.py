@@ -282,14 +282,18 @@ def chebyshev_imaginary_time_kron(pair, pmv, tau, Ebounds,
 
 
 def kron_energy_bounds(layout, pmv_or_mv, bounds_m: int = 40, safety=0.02,
-                       key=None):
+                       key=None, v0=None):
     """(Emin, Emax) padded outward — Chebyshev diverges outside [-1, 1]
-    (cf. lanczos.estimate_energy_bounds; ref src/Lanczos.jl:238-254)."""
+    (cf. lanczos.estimate_energy_bounds; ref src/Lanczos.jl:238-254).
+    Pass `v0` when the matvec expects a non-default state form (e.g. the
+    sharded BlockVec leaves)."""
     from .lanczos import lanczos_iteration, tridiag_eigh
 
     mv = getattr(pmv_or_mv, "mv", pmv_or_mv)
-    v0 = bv_random(layout, key if key is not None else jax.random.PRNGKey(7),
-                   jnp.float32)
+    if v0 is None:
+        v0 = bv_random(layout,
+                       key if key is not None else jax.random.PRNGKey(7),
+                       jnp.float32)
     fac = lanczos_iteration(mv, v0, bounds_m)
     evals, _ = tridiag_eigh(fac.alphas, fac.betas, fac.m_eff)
     lo, hi = float(evals.min()), float(evals.max())
@@ -369,7 +373,8 @@ def typicality_correlation_kron(
 def evolve_trajectory_kron(model, psi0, dt: float, n_steps: int,
                            cheb_n: int = 60, Ebounds=None, bounds_m: int = 40,
                            fused: bool = True, observe=None,
-                           record_norm: bool = True, key=None):
+                           record_norm: bool = True, key=None, mesh=None,
+                           axis_name: str = "rows"):
     """Chebyshev trajectory on BlockVec planes with per-step observables.
 
     The kron-scale version of the reference's flagship demo
@@ -378,7 +383,13 @@ def evolve_trajectory_kron(model, psi0, dt: float, n_steps: int,
     BlockVec (real), a (re, im) BlockVec pair, or an int bitstring.
     Returns (pair, obs [n_steps, ...], info) — info carries the bounds and
     the norm drift trace (Chebyshev is not unitary at finite cheb_n; the
-    reference hides this by renormalizing only in its Krylov path)."""
+    reference hides this by renormalizing only in its Krylov path).
+
+    Pass `mesh` to run the WHOLE trajectory sharded: the matvec is the
+    fused shard_map kron apply (parallel/sharded_kron_scaling BlockVec
+    form), the state lives as P(rows)-sharded leaves end to end, and the
+    default observable is the sharded marginal magnetization (O(L^2)
+    communication per measurement, no gather anywhere)."""
     from ..observables_kron import magnetization_per_site_kron
     from ..ops.sector_kron import make_sector_kron_layout
     from .chebyshev import chebyshev_coefficients
@@ -386,23 +397,60 @@ def evolve_trajectory_kron(model, psi0, dt: float, n_steps: int,
     if model.kron_splits is None:
         raise ValueError("evolve_trajectory_kron needs layout='sector_kron'")
     lay = make_sector_kron_layout(model, model.kron_splits, model.kron_pads)
-    pmv = kron_planes_matvec_fn(lay, fused=fused)
+    spec = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..observables_kron import szsz_matrix_kron_sharded
+        from ..parallel.sharded_kron_scaling import (
+            shard_kron_blockvec, sharded_kron_scaling_bv_matvec_fn)
+
+        smv, _, spec = sharded_kron_scaling_bv_matvec_fn(
+            model, mesh, axis_name=axis_name, use_fused=fused)
+
+        def pmv(pair):
+            return (smv(pair[0]), smv(pair[1]))
+
+        pmv.mv = smv
+        sh = NamedSharding(mesh, P(axis_name))
+
+        def _shard(bv):
+            return BlockVec([jax.device_put(l, sh)
+                             for l in shard_kron_blockvec(bv, spec).leaves])
+    else:
+        pmv = kron_planes_matvec_fn(lay, fused=fused)
+
+        def _shard(bv):
+            return bv
     if isinstance(psi0, (int, np.integer)):
         psi0 = bv_basis_state(lay, int(psi0), jnp.float32)
     if isinstance(psi0, BlockVec):
+        psi0 = _shard(psi0.astype(jnp.float32))
         zero = BlockVec([jnp.zeros_like(l) for l in psi0.leaves])
-        pair = (psi0.astype(jnp.float32), zero)
+        pair = (psi0, zero)
     else:
-        pair = (psi0[0].astype(jnp.float32), psi0[1].astype(jnp.float32))
+        pair = (_shard(psi0[0].astype(jnp.float32)),
+                _shard(psi0[1].astype(jnp.float32)))
     if Ebounds is None:
-        Ebounds = kron_energy_bounds(lay, pmv, bounds_m=bounds_m, key=key)
+        v0b = None
+        if mesh is not None:
+            v0b = _shard(bv_random(
+                lay, key if key is not None else jax.random.PRNGKey(7),
+                jnp.float32))
+        Ebounds = kron_energy_bounds(lay, pmv, bounds_m=bounds_m, key=key,
+                                     v0=v0b)
     coeffs = chebyshev_coefficients(dt, Ebounds[0], Ebounds[1], cheb_n)
     c, a, b = coeffs
     c_ri = jnp.asarray(np.stack([c.real, c.imag], axis=1), jnp.float32)
     ab = (jnp.float32(1.0 / a), jnp.float32(b))
 
     if observe is None:
-        observe = magnetization_per_site_kron
+        if mesh is not None:
+            def observe(pair, _lay):
+                _, si = szsz_matrix_kron_sharded(pair, spec, mesh, axis_name)
+                return si
+        else:
+            observe = magnetization_per_site_kron
 
     @jax.jit
     def obs_fn(pair):
