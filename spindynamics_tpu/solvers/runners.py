@@ -271,7 +271,8 @@ def lanczos_groundstate_checkpointed(
 
 def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
                      target_residual: float | None = 1e-3, key=None,
-                     fused: bool = True, dtype=None):
+                     fused: bool = True, dtype=None, mesh=None,
+                     axis_name: str = "rows"):
     """Ground state of a sector_kron model in BLOCKS form (the TPU fast path).
 
     Runs the restarted two-pass Lanczos (+ Chebyshev-filter polish) on a
@@ -280,7 +281,12 @@ def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
     layout); use ops.sector_kron.blocks_to_flat for a flat vector.
 
     This is the path that executes L=32 Sz=0 (N = 6.0e8) on ONE chip — the
-    reference tops out at L=20 (examples/example_kpmSqw.jl:11)."""
+    reference tops out at L=20 (examples/example_kpmSqw.jl:11).
+
+    Pass `mesh` to run the whole solve SHARDED: the matvec is the fused
+    shard_map kron apply (parallel/sharded_kron_scaling BlockVec form) and
+    the returned Ritz vector's leaves stay P(rows)-sharded — the multi-host
+    L >= 32 route (per-device memory ~ N/D)."""
     import jax
 
     from ..ops.sector_kron import make_sector_kron_layout, sector_kron_tables
@@ -292,6 +298,27 @@ def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
     if dtype is None:
         dtype = model.dtype
     lay = make_sector_kron_layout(model, model.kron_splits, model.kron_pads)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharded_kron_scaling import (
+            shard_kron_blockvec, sharded_kron_scaling_bv_matvec_fn)
+
+        mv, _, spec = sharded_kron_scaling_bv_matvec_fn(
+            model, mesh, axis_name=axis_name,
+            use_fused=fused and jnp.dtype(dtype) == jnp.float32)
+        sh = NamedSharding(mesh, P(axis_name))
+        v0 = BlockVec([
+            jax.device_put(l, sh) for l in shard_kron_blockvec(
+                bv_random(lay, key if key is not None
+                          else jax.random.PRNGKey(0), jnp.dtype(dtype)),
+                spec).leaves])
+        # default _ritz_finalize: one full H|psi> alongside psi — per-device
+        # that is ~2 N/D vectors, fine wherever the solve itself fits
+        E0, psi, info = lanczos_groundstate_restarted(
+            mv, None, lanc_m=lanc_m, cycles=cycles, dtype=dtype,
+            target_residual=target_residual, v0=v0)
+        return E0, psi, info, lay
     tables = jax.tree_util.tree_map(jnp.asarray, sector_kron_tables(lay))
     use_fused = fused and jnp.dtype(dtype) == jnp.float32
 

@@ -722,3 +722,24 @@ def test_sharded_bv_bf16_amplitude_mode(rng):
     for a, b in zip(y.leaves, y_ref):
         np.testing.assert_allclose(np.asarray(a, np.float64), np.asarray(b),
                                    rtol=0, atol=2e-2 * scale)
+
+
+def test_groundstate_kron_on_mesh():
+    """groundstate_kron(mesh=...): the whole restarted solve sharded — the
+    multi-host L>=32 route. Matches the compact reference energy and keeps
+    the Ritz vector sharded."""
+    import spindynamics_tpu as sd
+
+    L = 12
+    m = sd.xxz_chain(L, Jxy=1.0, Jz=0.5, nup=L // 2, dtype=jnp.float32,
+                     layout="sector_kron")
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    E0, psi, info, lay = sd.groundstate_kron(
+        m, lanc_m=30, cycles=3, target_residual=1e-4, mesh=mesh)
+    mc = sd.xxz_chain(L, Jxy=1.0, Jz=0.5, nup=L // 2, dtype=jnp.float64)
+    E_c, _, _ = sd.lanczos_groundstate(
+        sd.matvec_fn(mc), mc.n_states, lanc_m=60, dtype=jnp.float64)
+    assert E0 == pytest.approx(E_c, abs=1e-3)
+    assert info["residual"] < 1e-3
+    rows = NamedSharding(mesh, P("rows"))
+    assert psi.leaves[0].sharding.is_equivalent_to(rows, psi.leaves[0].ndim)
