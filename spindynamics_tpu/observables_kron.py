@@ -41,6 +41,9 @@ __all__ = [
     "magnetization_per_site_kron_sharded",
     "bv_probs",
     "bv_apply_sz",
+    "bv_sz_q",
+    "bv_sz_q_weights",
+    "bv_sz_q_apply",
 ]
 
 
@@ -180,6 +183,77 @@ def structure_factor_Sq_kron(x, layout: SectorKronLayout):
     S_q = np.real(np.fft.fft(C_r))
     q = 2.0 * np.pi * np.arange(layout.L) / layout.L
     return q, S_q
+
+
+def bv_sz_q_weights(layout: SectorKronLayout, q: float, hi_lens=None):
+    """Host-side per-group weight vectors of S^z_q (see bv_sz_q): a pytree
+    [(cos_l, cos_m, cos_h, sin_l, sin_m, sin_h), ...] — pass as a jit
+    ARGUMENT so one trace serves every q-point. hi_lens pads the hi vectors
+    (sharded-form leaves: D*b rows)."""
+    sz = _sz_tables(layout)
+    L1, L2, L3 = layout.splits
+    s = 1.0 / np.sqrt(layout.L)
+    sites = (np.arange(L1), L1 + np.arange(L2), L1 + L2 + np.arange(L3))
+    out = []
+    for gi, (k_h, k_m, k_l, ch, *_r) in enumerate(layout.groups):
+        kp = (k_l, k_m, k_h)
+        hi_len = ch if hi_lens is None else hi_lens[gi]
+
+        def wvec(p, trig):
+            v = sz[p][kp[p]] @ (s * trig(q * sites[p]))
+            if p == 2 and v.shape[0] != hi_len:
+                v = np.pad(v, (0, hi_len - v.shape[0]))
+            return np.asarray(v, np.float32)
+
+        out.append(tuple(wvec(p, np.cos) for p in range(3))
+                   + tuple(wvec(p, np.sin) for p in range(3)))
+    return out
+
+
+def bv_sz_q_apply(x, weights):
+    """Apply bv_sz_q_weights to a BlockVec (or (re, im) pair): pure jnp,
+    traceable with `weights` as an argument."""
+    if isinstance(x, tuple):
+        re_in, im_in = x
+    else:
+        re_in, im_in = x, None
+    shapes = ([1, 1, -1], [1, -1, 1], [-1, 1, 1])
+    out_r, out_i = [], []
+    for gi, wv in enumerate(weights):
+        r_leaf = re_in.leaves[gi]
+        dtype = r_leaf.dtype
+        wr = sum(jnp.asarray(wv[p]).astype(dtype).reshape(shapes[p])
+                 for p in range(3))
+        wi = sum(jnp.asarray(wv[3 + p]).astype(dtype).reshape(shapes[p])
+                 for p in range(3))
+        if im_in is None:
+            out_r.append(r_leaf * wr)
+            out_i.append(r_leaf * wi)
+        else:
+            i_leaf = im_in.leaves[gi]
+            out_r.append(r_leaf * wr - i_leaf * wi)
+            out_i.append(i_leaf * wr + r_leaf * wi)
+    return BlockVec(out_r), BlockVec(out_i)
+
+
+def bv_sz_q(x, layout: SectorKronLayout, q: float):
+    """phi = S^z_q |psi> on BlockVec states, returned as an (re, im) pair.
+
+    S^z_q = L^{-1/2} sum_r e^{iqr} Sz_r is DIAGONAL with a per-axis additive
+    weight: w(h, m, l) = w_hi[h] + w_mid[m] + w_lo[l] with
+    w_p[rank] = sum_rel cos/sin(q * site) * sz(rank, rel) — tiny per-part
+    vectors from the Sz tables (same factorization as the kron diagonal).
+    One fused elementwise pass per leaf; NO flat-vector round trip (the r3
+    kpm_sqw_kron paid 2 relayout passes per q-point) and NO gather — on
+    sharded-form leaves the hi weight broadcasts through GSPMD, sliced per
+    device automatically (hi vectors are padded to the leaf hi length).
+
+    x: real BlockVec or an (re, im) BlockVec pair. Ref: Sz_q_vector,
+    src/Hamiltonian.jl:218-234 (whose threaded version ships a data race).
+    For many q-points jit bv_sz_q_apply once and feed bv_sz_q_weights."""
+    re0 = x[0] if isinstance(x, tuple) else x
+    hi_lens = [l.shape[0] for l in re0.leaves]
+    return bv_sz_q_apply(x, bv_sz_q_weights(layout, q, hi_lens))
 
 
 def bv_apply_sz(x: BlockVec, layout: SectorKronLayout, site: int) -> BlockVec:

@@ -353,7 +353,7 @@ def kpm_sqw_kron(model, q_list, omega, kpm_m: int = 100, lanc_m: int = 40,
                  kernel: str = "jackson", key=None, bounds_m: int = 40,
                  doubling_trick: bool = True, fused: bool = True,
                  psi0=None, E0=None, info=None, safety: float = 0.01,
-                 bounds=None):
+                 bounds=None, mesh=None, axis_name: str = "rows"):
     """T=0 dynamic structure factor S(q, omega) at kron BlockVec scale.
 
     The reference's largest S(q, omega) demo is L=20
@@ -380,7 +380,8 @@ def kpm_sqw_kron(model, q_list, omega, kpm_m: int = 100, lanc_m: int = 40,
     if psi0 is None or E0 is None:
         E0, psi0, info, lay = groundstate_kron(
             model, lanc_m=lanc_m, cycles=cycles,
-            target_residual=target_residual, key=key, fused=fused)
+            target_residual=target_residual, key=key, fused=fused,
+            mesh=mesh, axis_name=axis_name)
     else:
         from ..ops.sector_kron import make_sector_kron_layout
 
@@ -389,7 +390,16 @@ def kpm_sqw_kron(model, q_list, omega, kpm_m: int = 100, lanc_m: int = 40,
     info = dict(info or {})
     tables = None  # closures below rebuild device tables once via matvec
 
-    if fused:
+    if mesh is not None:
+        # sharded S(q, omega): the shard_map fused matvec; psi0 and every
+        # moment recurrence stay P(rows)-sharded (phi construction is the
+        # per-axis-weight elementwise op — GSPMD-local, no gather)
+        from ..parallel.sharded_kron_scaling import (
+            sharded_kron_scaling_bv_matvec_fn)
+
+        mv, _, _spec = sharded_kron_scaling_bv_matvec_fn(
+            model, mesh, axis_name=axis_name, use_fused=fused)
+    elif fused:
         from ..ops.pallas_kron import apply_H_sector_kron_fused
         from ..ops.sector_kron import _device_tables
 
@@ -408,8 +418,16 @@ def kpm_sqw_kron(model, q_list, omega, kpm_m: int = 100, lanc_m: int = 40,
     from .blockvec import bv_random
 
     if bounds is None:
-        fac = lanczos_iteration(
-            mv, bv_random(lay, jax.random.PRNGKey(7), jnp.float32), bounds_m)
+        v0b = bv_random(lay, jax.random.PRNGKey(7), jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharded_kron_scaling import shard_kron_blockvec
+
+            sh = NamedSharding(mesh, P(axis_name))
+            v0b = BlockVec([jax.device_put(l, sh)
+                            for l in shard_kron_blockvec(v0b, _spec).leaves])
+        fac = lanczos_iteration(mv, v0b, bounds_m)
         evals, _ = tridiag_eigh(fac.alphas, fac.betas, fac.m_eff)
         lo, hi = min(float(evals.min()), float(E0)), float(evals.max())
         pad = safety * 0.5 * (hi - lo) + 1e-6
@@ -423,33 +441,27 @@ def kpm_sqw_kron(model, q_list, omega, kpm_m: int = 100, lanc_m: int = 40,
     def mvr(bv):
         return (mv(bv) - bb * bv) * a_inv
 
-    flat = blocks_to_flat(psi0.leaves, lay).astype(jnp.float32)
-    states = model.basis_states()
-    L = model.L
+    from ..observables_kron import bv_sz_q_apply, bv_sz_q_weights
+
+    psi0 = psi0.astype(jnp.float32)
+    hi_lens = [l.shape[0] for l in psi0.leaves]
 
     @jax.jit
-    def _phi_planes(flat, states, cosr, sinr):
-        """phi = S^z_q psi planes + ||phi||^2 in ONE dispatch (the relay
-        pays ~10-25 ms per call — a per-leaf eager loop costs seconds/q)."""
-        wr = jnp.zeros_like(flat)
-        wi = jnp.zeros_like(flat)
-        for site in range(L):
-            sz = ((states >> np.uint32(site)) & 1).astype(jnp.float32) - 0.5
-            wr = wr + cosr[site] * sz
-            wi = wi + sinr[site] * sz
-        s = np.float32(1.0 / np.sqrt(L))
-        pr = flat_to_blocks(wr * flat * s, lay)
-        pi = flat_to_blocks(wi * flat * s, lay)
-        n2 = (sum(jnp.vdot(x, x) for x in pr)
-              + sum(jnp.vdot(x, x) for x in pi))
-        return pr, pi, n2
+    def _phi_planes(leaves, weights):
+        """phi = S^z_q psi planes + ||phi||^2 in ONE dispatch, directly on
+        BlockVec leaves (no flat round trip — the r3 version paid 2 relayout
+        passes per q-point); `weights` is an argument so one trace serves
+        every q. Works unchanged on sharded-form leaves (per-axis weights
+        broadcast GSPMD-locally)."""
+        pr, pi = bv_sz_q_apply(BlockVec(list(leaves)), weights)
+        n2 = (sum(jnp.vdot(x, x) for x in pr.leaves)
+              + sum(jnp.vdot(x, x) for x in pi.leaves))
+        return pr.leaves, pi.leaves, n2
 
     S_rows, n2s = [], []
     for q in q_list:
-        r = np.arange(L)
         phi_r, phi_i, n2 = _phi_planes(
-            flat, states, jnp.asarray(np.cos(q * r), jnp.float32),
-            jnp.asarray(np.sin(q * r), jnp.float32))
+            tuple(psi0.leaves), bv_sz_q_weights(lay, float(q), hi_lens))
         n2 = float(n2)
         n2s.append(n2)
         if n2 <= 0.0:

@@ -308,3 +308,29 @@ def test_sharded_trajectory_matches_unsharded(setup):
     rows = NamedSharding(mesh, P("rows"))
     assert pair[0].leaves[0].sharding.is_equivalent_to(
         rows, pair[0].leaves[0].ndim)
+
+
+def test_bv_sz_q_matches_flat(setup):
+    """BlockVec-native S^z_q (per-axis additive weights) vs the flat
+    sz_q_vector oracle, real and complex inputs."""
+    from spindynamics_tpu.observables_kron import bv_sz_q
+    from spindynamics_tpu.ops.spin_ops import sz_q_vector
+
+    m, lay = setup
+    bv = _random_bv(lay, 31)
+    for q in (0.7, np.pi):
+        pr, pi = bv_sz_q(bv, lay, q)
+        flat = blocks_to_flat(bv.leaves, lay).astype(jnp.complex64)
+        ref = sz_q_vector(m, flat, q)
+        got = (np.asarray(blocks_to_flat(pr.leaves, lay))
+               + 1j * np.asarray(blocks_to_flat(pi.leaves, lay)))
+        np.testing.assert_allclose(got, np.asarray(ref), atol=2e-6)
+    # complex (pair) input
+    r2, i2 = _random_bv(lay, 32), _random_bv(lay, 33)
+    pr, pi = bv_sz_q((r2, i2), lay, 0.9)
+    flat = (blocks_to_flat(r2.leaves, lay)
+            + 1j * blocks_to_flat(i2.leaves, lay)).astype(jnp.complex64)
+    ref = sz_q_vector(m, flat, 0.9)
+    got = (np.asarray(blocks_to_flat(pr.leaves, lay))
+           + 1j * np.asarray(blocks_to_flat(pi.leaves, lay)))
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-6)

@@ -743,3 +743,30 @@ def test_groundstate_kron_on_mesh():
     assert info["residual"] < 1e-3
     rows = NamedSharding(mesh, P("rows"))
     assert psi.leaves[0].sharding.is_equivalent_to(rows, psi.leaves[0].ndim)
+
+
+def test_kpm_sqw_kron_on_mesh():
+    """kpm_sqw_kron(mesh=...): ground state + phi construction + moment
+    recurrences all P(rows)-sharded — matches the single-device result."""
+    import spindynamics_tpu as sd
+    from spindynamics_tpu.solvers.runners import kpm_sqw_kron
+
+    L = 12
+    m = sd.xxz_chain(L, Jxy=1.0, Jz=1.0, nup=L // 2, dtype=jnp.float32,
+                     layout="sector_kron")
+    q = [np.pi / 2, np.pi]
+    omega = np.linspace(0, 4, 40)
+    S_ref, info_ref = kpm_sqw_kron(m, q, omega, kpm_m=40, lanc_m=30,
+                                   cycles=3, fused=False,
+                                   key=jax.random.PRNGKey(2))
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    S, info = kpm_sqw_kron(m, q, omega, kpm_m=40, lanc_m=30, cycles=3,
+                           fused=False, mesh=mesh,
+                           key=jax.random.PRNGKey(2),
+                           bounds=(info_ref["bounds"]))
+    # same physics; ground states may differ by restart path details, so
+    # compare spectra loosely but meaningfully
+    assert S.shape == S_ref.shape
+    np.testing.assert_allclose(info["E0"], info_ref["E0"], atol=2e-3)
+    scale = float(np.max(np.abs(S_ref))) or 1.0
+    np.testing.assert_allclose(S, S_ref, atol=0.05 * scale)
