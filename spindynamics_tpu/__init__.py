@@ -95,6 +95,7 @@ from .solvers.runners import (
     groundstate_kron,
     kpm_sqw_kron,
     lanczos_groundstate_checkpointed,
+    lanczos_sqw_kron,
     run_chebyshev,
     run_krylov,
 )
@@ -118,6 +119,7 @@ from .solvers.kron_evolve import (
     kron_planes_matvec_fn,
     krylov_imaginary_time_evolve_kron,
     krylov_time_evolve_kron,
+    lanczos_tridiag_pair,
     typicality_correlation_kron,
 )
 

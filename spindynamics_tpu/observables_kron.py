@@ -185,11 +185,12 @@ def structure_factor_Sq_kron(x, layout: SectorKronLayout):
     return q, S_q
 
 
-def bv_sz_q_weights(layout: SectorKronLayout, q: float, hi_lens=None):
+def bv_sz_q_weights(layout: SectorKronLayout, q: float, hi_lens=None,
+                    dtype=np.float32):
     """Host-side per-group weight vectors of S^z_q (see bv_sz_q): a pytree
     [(cos_l, cos_m, cos_h, sin_l, sin_m, sin_h), ...] — pass as a jit
     ARGUMENT so one trace serves every q-point. hi_lens pads the hi vectors
-    (sharded-form leaves: D*b rows)."""
+    (sharded-form leaves: D*b rows). dtype=float64 for x64 validation."""
     sz = _sz_tables(layout)
     L1, L2, L3 = layout.splits
     s = 1.0 / np.sqrt(layout.L)
@@ -203,7 +204,7 @@ def bv_sz_q_weights(layout: SectorKronLayout, q: float, hi_lens=None):
             v = sz[p][kp[p]] @ (s * trig(q * sites[p]))
             if p == 2 and v.shape[0] != hi_len:
                 v = np.pad(v, (0, hi_len - v.shape[0]))
-            return np.asarray(v, np.float32)
+            return np.asarray(v, dtype)
 
         out.append(tuple(wvec(p, np.cos) for p in range(3))
                    + tuple(wvec(p, np.sin) for p in range(3)))

@@ -28,6 +28,7 @@ __all__ = [
     "kron_planes_matvec_fn",
     "pair_dot",
     "pair_norm2",
+    "lanczos_tridiag_pair",
     "chebyshev_time_evolve_kron",
     "krylov_time_evolve_kron",
     "krylov_imaginary_time_evolve_kron",
@@ -78,6 +79,57 @@ def pair_dot(x, y):
 
 def pair_norm2(x):
     return _bv_vdot(x[0], x[0]) + _bv_vdot(x[1], x[1])
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _pair_tridiag_scan(pmv, pair, m, tol):
+    """Basis-free Lanczos tridiagonalization of H from a complex start held
+    as an (re, im) BlockVec plane pair: the kron/BlockVec mirror of
+    solvers/lanczos._lanczos_scan's no-reorth path (ref recurrence
+    src/Lanczos.jl:180-229). H is real symmetric, so every recurrence
+    coefficient is real and the complex vector never needs a complex dtype —
+    alpha = Re<v|Hv> (exact), beta = ||w||. Memory O(3 plane pairs); no
+    stored basis (the spectral weights need only Q[0, :]).
+
+    Breakdown handling matches _lanczos_scan: masked steps emit beta = 0 and
+    repeat the last valid alpha, which block-decouples the tridiagonal with
+    zero spectral weight on the spurious blocks (see
+    spectral_from_tridiagonal_batched). Returns (alphas[m], betas[m], ||v0||)."""
+    rdtype = pair[0].dtype
+    tiny = jnp.finfo(rdtype).tiny
+    nrm = jnp.sqrt(pair_norm2(pair))
+    inv0 = 1.0 / jnp.maximum(nrm, tiny)
+    v1 = (pair[0] * inv0, pair[1] * inv0)
+
+    def step(carry, _):
+        v_prev, v_curr, beta_prev, active, last_alpha = carry
+        hr, hi = pmv(v_curr)
+        alpha, _ = pair_dot(v_curr, (hr, hi))
+        w = (hr - v_curr[0] * alpha - v_prev[0] * beta_prev,
+             hi - v_curr[1] * alpha - v_prev[1] * beta_prev)
+        beta = jnp.sqrt(pair_norm2(w))
+        ok = jnp.logical_and(active, beta > tol)
+        inv = jnp.where(ok, 1.0 / jnp.maximum(beta, tiny), 0.0)
+        v_next = (w[0] * inv, w[1] * inv)
+        alpha_out = jnp.where(active, alpha, last_alpha)
+        beta_out = jnp.where(ok, beta, jnp.zeros_like(beta))
+        return ((v_curr, v_next, beta_out, ok, alpha_out),
+                (alpha_out, beta_out))
+
+    zero = (v1[0] * 0.0, v1[1] * 0.0)
+    init = (zero, v1, jnp.zeros((), rdtype), jnp.asarray(True),
+            jnp.zeros((), rdtype))
+    _, (alphas, betas) = jax.lax.scan(step, init, None, length=m)
+    return alphas, betas, nrm
+
+
+def lanczos_tridiag_pair(pmv, pair, lanc_m: int = 100, tol: float = 1e-12):
+    """(alphas, betas[lanc_m-1], ||v0||) from an (re, im) BlockVec pair —
+    the kron-scale lanczos_tridiag (ref src/Lanczos.jl:180-229). Reuse one
+    pmv closure across q-points to avoid retraces."""
+    alphas, betas, nrm = _pair_tridiag_scan(pmv, pair, lanc_m,
+                                            jnp.asarray(tol, pair[0].dtype))
+    return alphas, betas[: lanc_m - 1], nrm
 
 
 @partial(jax.jit, static_argnums=(0, 4))

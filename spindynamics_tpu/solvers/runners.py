@@ -28,7 +28,7 @@ from .lanczos import estimate_energy_bounds
 
 __all__ = ["run_chebyshev", "run_krylov", "evolve_trajectory",
            "evolve_trajectory_planes", "lanczos_groundstate_checkpointed",
-           "groundstate_kron", "kpm_sqw_kron"]
+           "groundstate_kron", "kpm_sqw_kron", "lanczos_sqw_kron"]
 
 
 def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
@@ -348,6 +348,128 @@ def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
     return E0, psi, info, lay
 
 
+@jax.jit
+def _phi_planes(leaves, weights):
+    """phi = S^z_q psi planes + ||phi||^2 in ONE dispatch, directly on
+    BlockVec leaves (no flat round trip — the r3 version paid 2 relayout
+    passes per q-point); `weights` is an argument so one trace serves
+    every q. Works unchanged on sharded-form leaves (per-axis weights
+    broadcast GSPMD-locally). Shared by kpm_sqw_kron and lanczos_sqw_kron."""
+    from ..observables_kron import bv_sz_q_apply
+    from .blockvec import BlockVec
+
+    pr, pi = bv_sz_q_apply(BlockVec(list(leaves)), weights)
+    n2 = (sum(jnp.vdot(x, x) for x in pr.leaves)
+          + sum(jnp.vdot(x, x) for x in pi.leaves))
+    return pr.leaves, pi.leaves, n2
+
+
+def _kron_matvec_for(model, lay, fused: bool, mesh, axis_name: str):
+    """One BlockVec H-apply closure for the kron drivers: the shard_map fused
+    apply when `mesh` is given, else the fused Pallas kernel (f32) or the XLA
+    blocks path. Returns (mv, spec_or_None)."""
+    from .blockvec import BlockVec
+
+    if mesh is not None:
+        from ..parallel.sharded_kron_scaling import (
+            sharded_kron_scaling_bv_matvec_fn)
+
+        mv, _, spec = sharded_kron_scaling_bv_matvec_fn(
+            model, mesh, axis_name=axis_name, use_fused=fused)
+        return mv, spec
+    if fused:
+        from ..ops.pallas_kron import apply_H_sector_kron_fused
+        from ..ops.sector_kron import _device_tables
+
+        tables = jax.tree_util.tree_map(jnp.asarray, _device_tables(lay))
+
+        def mv(bv):
+            return BlockVec(apply_H_sector_kron_fused(bv.leaves, lay, tables))
+
+        return mv, None
+    from .blockvec import bv_matvec_fn
+
+    return bv_matvec_fn(lay), None
+
+
+def lanczos_sqw_kron(model, q_list, omega, lanc_m: int = 100,
+                     eta: float = 0.05, broaden: str = "lorentz",
+                     gs_lanc_m: int = 40, cycles: int = 6,
+                     target_residual: float | None = 1e-3, key=None,
+                     fused: bool = True, psi0=None, E0=None, info=None,
+                     tol: float = 1e-12, mesh=None,
+                     axis_name: str = "rows"):
+    """T=0 dynamic structure factor S(q, omega) via LANCZOS at kron BlockVec
+    scale — the second spectral path at the flagship layout (VERDICT r4 #2;
+    kpm_sqw_kron is the KPM path; ref src/LanczosSqw.jl:49-76 whose largest
+    committed artifact is L=20).
+
+    Ground state via groundstate_kron (restarted two-pass Lanczos), then per
+    q-point: phi_q = S^z_q |psi0> held as an (re, im) REAL plane BlockVec
+    pair (zero complex dtypes — relay-safe), basis-free pair Lanczos
+    tridiagonalization through the fused Pallas kernel
+    (solvers/kron_evolve.lanczos_tridiag_pair), and host-side pole
+    broadening (spectral_from_tridiagonal_batched) with weights
+    |Q[0, :]|^2 ||phi||^2 at omega = theta - E0.
+
+    Memory: q-points run serially — peak is the GS copy + 3 plane pairs
+    regardless of len(q_list). Pass `mesh` to run the ground state AND every
+    tridiagonalization on P(rows)-sharded leaves (the shard_map fused apply;
+    phi construction is GSPMD-local, dots psum — no gather anywhere).
+
+    Returns (S [nq, n_omega] numpy, info dict with E0/residual/bounds)."""
+    from ..observables_kron import bv_sz_q_weights
+    from .blockvec import BlockVec
+    from .kron_evolve import lanczos_tridiag_pair
+    from .lanczos_sqw import spectral_from_tridiagonal_batched
+
+    if psi0 is None or E0 is None:
+        E0, psi0, info, lay = groundstate_kron(
+            model, lanc_m=gs_lanc_m, cycles=cycles,
+            target_residual=target_residual, key=key, fused=fused,
+            mesh=mesh, axis_name=axis_name)
+    else:
+        from ..ops.sector_kron import make_sector_kron_layout
+
+        lay = make_sector_kron_layout(model, model.kron_splits,
+                                      model.kron_pads)
+    info = dict(info or {})
+    mv, _spec = _kron_matvec_for(model, lay, fused, mesh, axis_name)
+
+    def pmv(pair):
+        return (mv(pair[0]), mv(pair[1]))
+
+    # preserve an f64 state for x64 validation; everything else runs f32
+    rdt = jnp.dtype(model.dtype) if jnp.dtype(model.dtype) in (
+        jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)) else jnp.float32
+    psi0 = psi0.astype(rdt)
+    hi_lens = [l.shape[0] for l in psi0.leaves]
+
+    alphas_rows, betas_rows, norms = [], [], []
+    for q in q_list:
+        phi_r, phi_i, n2 = _phi_planes(
+            tuple(psi0.leaves),
+            bv_sz_q_weights(lay, float(q), hi_lens, dtype=rdt))
+        n2 = float(n2)
+        if n2 <= 0.0:
+            # zero-norm phi (e.g. q = 0 at Sz = 0): zero spectral row, and
+            # the guard runs BEFORE any division (fixes SURVEY.md §2.4-6)
+            alphas_rows.append(np.zeros(lanc_m))
+            betas_rows.append(np.zeros(lanc_m - 1))
+            norms.append(0.0)
+            continue
+        al, be, nrm = lanczos_tridiag_pair(
+            pmv, (BlockVec(phi_r), BlockVec(phi_i)), lanc_m=lanc_m, tol=tol)
+        alphas_rows.append(np.asarray(al))
+        betas_rows.append(np.asarray(be))
+        norms.append(float(nrm))
+    S = spectral_from_tridiagonal_batched(
+        np.stack(alphas_rows), np.stack(betas_rows), np.asarray(norms),
+        float(E0), omega, eta=eta, broaden=broaden)
+    info.update(E0=float(E0))
+    return S, info
+
+
 def kpm_sqw_kron(model, q_list, omega, kpm_m: int = 100, lanc_m: int = 40,
                  cycles: int = 6, target_residual: float | None = 1e-3,
                  kernel: str = "jackson", key=None, bounds_m: int = 40,
@@ -388,29 +510,10 @@ def kpm_sqw_kron(model, q_list, omega, kpm_m: int = 100, lanc_m: int = 40,
         lay = make_sector_kron_layout(model, model.kron_splits,
                                       model.kron_pads)
     info = dict(info or {})
-    tables = None  # closures below rebuild device tables once via matvec
-
-    if mesh is not None:
-        # sharded S(q, omega): the shard_map fused matvec; psi0 and every
-        # moment recurrence stay P(rows)-sharded (phi construction is the
-        # per-axis-weight elementwise op — GSPMD-local, no gather)
-        from ..parallel.sharded_kron_scaling import (
-            sharded_kron_scaling_bv_matvec_fn)
-
-        mv, _, _spec = sharded_kron_scaling_bv_matvec_fn(
-            model, mesh, axis_name=axis_name, use_fused=fused)
-    elif fused:
-        from ..ops.pallas_kron import apply_H_sector_kron_fused
-        from ..ops.sector_kron import _device_tables
-
-        tables = jax.tree_util.tree_map(jnp.asarray, _device_tables(lay))
-
-        def mv(bv):
-            return BlockVec(apply_H_sector_kron_fused(bv.leaves, lay, tables))
-    else:
-        from .blockvec import bv_matvec_fn
-
-        mv = bv_matvec_fn(lay)
+    # sharded S(q, omega) when mesh is given: the shard_map fused matvec;
+    # psi0 and every moment recurrence stay P(rows)-sharded (phi construction
+    # is the per-axis-weight elementwise op — GSPMD-local, no gather)
+    mv, _spec = _kron_matvec_for(model, lay, fused, mesh, axis_name)
 
     # spectral bounds: Emin = E0 (exact to the GS residual); Emax from one
     # basis-free Lanczos run on the SAME BlockVec matvec, expanded outward
@@ -441,22 +544,10 @@ def kpm_sqw_kron(model, q_list, omega, kpm_m: int = 100, lanc_m: int = 40,
     def mvr(bv):
         return (mv(bv) - bb * bv) * a_inv
 
-    from ..observables_kron import bv_sz_q_apply, bv_sz_q_weights
+    from ..observables_kron import bv_sz_q_weights
 
     psi0 = psi0.astype(jnp.float32)
     hi_lens = [l.shape[0] for l in psi0.leaves]
-
-    @jax.jit
-    def _phi_planes(leaves, weights):
-        """phi = S^z_q psi planes + ||phi||^2 in ONE dispatch, directly on
-        BlockVec leaves (no flat round trip — the r3 version paid 2 relayout
-        passes per q-point); `weights` is an argument so one trace serves
-        every q. Works unchanged on sharded-form leaves (per-axis weights
-        broadcast GSPMD-locally)."""
-        pr, pi = bv_sz_q_apply(BlockVec(list(leaves)), weights)
-        n2 = (sum(jnp.vdot(x, x) for x in pr.leaves)
-              + sum(jnp.vdot(x, x) for x in pi.leaves))
-        return pr.leaves, pi.leaves, n2
 
     S_rows, n2s = [], []
     for q in q_list:
