@@ -78,13 +78,18 @@ def _sz_tables(layout: SectorKronLayout):
 
 def bv_probs(x):
     """|psi|^2 leaves from a BlockVec, a (re, im) BlockVec pair, or complex
-    leaves."""
+    leaves. bf16 states upcast to f32 (fused into the read pass): an
+    N-term probability reduction accumulated at 8 mantissa bits is garbage."""
+    def _f(l):
+        return l.astype(jnp.float32) if l.dtype == jnp.bfloat16 else l
+
     if isinstance(x, tuple):
         re, im = x
-        return [r * r + i * i for r, i in zip(re.leaves, im.leaves)]
+        return [_f(r) * _f(r) + _f(i) * _f(i)
+                for r, i in zip(re.leaves, im.leaves)]
     if jnp.iscomplexobj(x.leaves[0]):
         return [l.real**2 + l.imag**2 for l in x.leaves]
-    return [l * l for l in x.leaves]
+    return [_f(l) * _f(l) for l in x.leaves]
 
 
 def _site_map(layout):

@@ -66,8 +66,18 @@ def kron_planes_matvec_fn(layout, tables=None, fused: bool = True):
 
 
 def _bv_vdot(x: BlockVec, y: BlockVec):
-    """Compensated sum of per-leaf real vdots (f32 at N ~ 1e8 needs it)."""
-    return sum(jnp.real(vdot2(a, b)) for a, b in zip(x.leaves, y.leaves))
+    """Compensated sum of per-leaf real vdots (f32 at N ~ 1e8 needs it).
+
+    bf16 leaves upcast to f32 first (XLA fuses the cast into the read pass —
+    traffic stays half-width); Dekker splitting and bf16 accumulation are
+    both wrong at 8 mantissa bits."""
+    def _d(a, b):
+        if a.dtype == jnp.bfloat16:
+            a = a.astype(jnp.float32)
+            b = b.astype(jnp.float32)
+        return jnp.real(vdot2(a, b))
+
+    return sum(_d(a, b) for a, b in zip(x.leaves, y.leaves))
 
 
 def pair_dot(x, y):
@@ -136,35 +146,57 @@ def lanczos_tridiag_pair(pmv, pair, lanc_m: int = 100, tol: float = 1e-12):
 def _cheb_kron_scan(pmv, pair, coeffs_ri, ab, n):
     """Chebyshev-Bessel e^{-iH dt} step on BlockVec planes (the BlockVec
     mirror of solvers/planes._cheb_planes_scan; ref recurrence
-    src/TimeEvolution/Chebyshev.jl:111-122)."""
+    src/TimeEvolution/Chebyshev.jl:111-122).
+
+    dtype-generic (VERDICT r4 #3): the pair may be bf16 — recurrence leaves
+    STORE in the state dtype (half HBM traffic through the kernel), while
+    every elementwise combine and the coefficient accumulator run f32 (XLA
+    fuses the casts into the read/write passes, so the f32 arithmetic is
+    free). One bf16 rounding per stored leaf per term; the accumulator is
+    rounded to the state dtype once per step. For f32 states every cast is
+    an identity — numerics are bit-identical to the previous f32-only form."""
     a_inv, b = ab
+    sdt = pair[0].dtype
+    f32 = jnp.float32
+
+    def _lift(bv):  # leaf-wise f32 view (cast fused into the read)
+        return jax.tree_util.tree_map(lambda x: x.astype(f32), bv)
 
     def mvr(p):
         hr, hi = pmv(p)
-        return ((hr - b * p[0]) * a_inv, (hi - b * p[1]) * a_inv)
+        shift = jax.tree_util.tree_map(
+            lambda h, x: ((h.astype(f32) - b * x.astype(f32))
+                          * a_inv).astype(sdt), (hr, hi), p)
+        return shift
 
     phi_prev = pair
     c0r, c0i = coeffs_ri[0, 0], coeffs_ri[0, 1]
     c1r, c1i = coeffs_ri[1, 0], coeffs_ri[1, 1]
-    acc_r = phi_prev[0] * c0r - phi_prev[1] * c0i
-    acc_i = phi_prev[0] * c0i + phi_prev[1] * c0r
+    pr, pi = _lift(phi_prev[0]), _lift(phi_prev[1])
+    acc_r = pr * c0r - pi * c0i
+    acc_i = pr * c0i + pi * c0r
     phi_curr = mvr(phi_prev)
-    acc_r = acc_r + phi_curr[0] * c1r - phi_curr[1] * c1i
-    acc_i = acc_i + phi_curr[0] * c1i + phi_curr[1] * c1r
+    cr, ci = _lift(phi_curr[0]), _lift(phi_curr[1])
+    acc_r = acc_r + cr * c1r - ci * c1i
+    acc_i = acc_i + cr * c1i + ci * c1r
 
     def step(carry, c):
         p_prev, p_curr, ar, ai = carry
         nr, ni = mvr(p_curr)
-        p_next = (nr * 2.0 - p_prev[0], ni * 2.0 - p_prev[1])
-        ar = ar + p_next[0] * c[0] - p_next[1] * c[1]
-        ai = ai + p_next[0] * c[1] + p_next[1] * c[0]
+        p_next = jax.tree_util.tree_map(
+            lambda nx, pv: (nx.astype(f32) * 2.0
+                            - pv.astype(f32)).astype(sdt),
+            (nr, ni), p_prev)
+        xr, xi = _lift(p_next[0]), _lift(p_next[1])
+        ar = ar + xr * c[0] - xi * c[1]
+        ai = ai + xr * c[1] + xi * c[0]
         return (p_curr, p_next, ar, ai), None
 
     if n > 2:
         (_, _, acc_r, acc_i), _ = jax.lax.scan(
             step, (phi_prev, phi_curr, acc_r, acc_i), coeffs_ri[2:]
         )
-    return (acc_r, acc_i)
+    return (acc_r.astype(sdt), acc_i.astype(sdt))
 
 
 def chebyshev_time_evolve_kron(pair, pmv, dt, Ebounds, cheb_n: int = 100,
@@ -426,7 +458,7 @@ def evolve_trajectory_kron(model, psi0, dt: float, n_steps: int,
                            cheb_n: int = 60, Ebounds=None, bounds_m: int = 40,
                            fused: bool = True, observe=None,
                            record_norm: bool = True, key=None, mesh=None,
-                           axis_name: str = "rows"):
+                           axis_name: str = "rows", state_dtype=None):
     """Chebyshev trajectory on BlockVec planes with per-step observables.
 
     The kron-scale version of the reference's flagship demo
@@ -441,13 +473,34 @@ def evolve_trajectory_kron(model, psi0, dt: float, n_steps: int,
     fused shard_map kron apply (parallel/sharded_kron_scaling BlockVec
     form), the state lives as P(rows)-sharded leaves end to end, and the
     default observable is the sharded marginal magnetization (O(L^2)
-    communication per measurement, no gather anywhere)."""
+    communication per measurement, no gather anywhere).
+
+    state_dtype (VERDICT r4 #3): None resolves to model.dtype when that is
+    f32/bf16 (else f32). bf16 halves the per-step HBM traffic — states
+    stream bf16 through the fused kernel (measured 2x at the matvec level,
+    PARITY 6i) while every recurrence combine and the coefficient
+    accumulator stay f32 (_cheb_kron_scan). Accuracy class: one bf16
+    rounding of the state per stored term (~4e-3 rel per apply), so expect
+    observable errors ~1e-2 absolute and a norm drift bound of the same
+    order over tens of steps — document per-use; pass explicit `Ebounds`
+    at large L to skip the bounds solve."""
     from ..observables_kron import magnetization_per_site_kron
     from ..ops.sector_kron import make_sector_kron_layout
     from .chebyshev import chebyshev_coefficients
 
     if model.kron_splits is None:
         raise ValueError("evolve_trajectory_kron needs layout='sector_kron'")
+    if state_dtype is None:
+        state_dtype = jnp.dtype(model.dtype) if jnp.dtype(model.dtype) in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)) \
+            else jnp.dtype(jnp.float32)
+    sdt = jnp.dtype(state_dtype)
+    if sdt == jnp.dtype(jnp.bfloat16) and mesh is not None \
+            and jnp.dtype(model.dtype) != jnp.dtype(jnp.bfloat16):
+        raise ValueError(
+            "sharded bf16 evolution needs a model built with dtype=bfloat16 "
+            "(the shard_map kernel dtype follows the model); unsharded "
+            "accepts bf16 states on an f32 model")
     lay = make_sector_kron_layout(model, model.kron_splits, model.kron_pads)
     spec = None
     if mesh is not None:
@@ -475,22 +528,26 @@ def evolve_trajectory_kron(model, psi0, dt: float, n_steps: int,
         def _shard(bv):
             return bv
     if isinstance(psi0, (int, np.integer)):
-        psi0 = bv_basis_state(lay, int(psi0), jnp.float32)
+        psi0 = bv_basis_state(lay, int(psi0), sdt)
     if isinstance(psi0, BlockVec):
-        psi0 = _shard(psi0.astype(jnp.float32))
+        psi0 = _shard(psi0.astype(sdt))
         zero = BlockVec([jnp.zeros_like(l) for l in psi0.leaves])
         pair = (psi0, zero)
     else:
-        pair = (_shard(psi0[0].astype(jnp.float32)),
-                _shard(psi0[1].astype(jnp.float32)))
+        pair = (_shard(psi0[0].astype(sdt)), _shard(psi0[1].astype(sdt)))
     if Ebounds is None:
         v0b = None
+        bf16 = sdt == jnp.dtype(jnp.bfloat16)
         if mesh is not None:
+            # the shard_map kernel runs in the model dtype — the bounds
+            # Lanczos must match it (bf16 dots upcast f32 in _inner_c)
             v0b = _shard(bv_random(
                 lay, key if key is not None else jax.random.PRNGKey(7),
-                jnp.float32))
+                sdt if bf16 else jnp.float32))
+        # bf16 Ritz values carry ~1e-2 relative error: pad the interval
+        # harder so no eigenvalue maps outside [-1, 1] (Chebyshev diverges)
         Ebounds = kron_energy_bounds(lay, pmv, bounds_m=bounds_m, key=key,
-                                     v0=v0b)
+                                     v0=v0b, safety=0.05 if bf16 else 0.02)
     coeffs = chebyshev_coefficients(dt, Ebounds[0], Ebounds[1], cheb_n)
     c, a, b = coeffs
     c_ri = jnp.asarray(np.stack([c.real, c.imag], axis=1), jnp.float32)
