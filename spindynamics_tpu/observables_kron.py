@@ -264,13 +264,20 @@ def bv_sz_q(x, layout: SectorKronLayout, q: float):
 
 def bv_apply_sz(x: BlockVec, layout: SectorKronLayout, site: int) -> BlockVec:
     """Sz_site |psi> on a BlockVec: a per-axis diagonal multiply (the kron
-    analog of create_spin_operator(site, :z), src/Hamiltonian.jl:49-115)."""
+    analog of create_spin_operator(site, :z), src/Hamiltonian.jl:49-115).
+
+    Works unchanged on SHARDED-form leaves ([D*b, cmp, clp], P(rows)): a
+    hi-site weight vector is zero-padded to the leaf's hi length (pad rows
+    are a null subspace) and the broadcast multiply is GSPMD-local."""
     sz = _sz_tables(layout)
     (p, rel) = _site_map(layout)[site]
     leaves = []
     for leaf, (k_h, k_m, k_l, *_r) in zip(x.leaves, layout.groups):
         kp = (k_l, k_m, k_h)
-        v = jnp.asarray(sz[p][kp[p]][:, rel], leaf.real.dtype
+        vnp = sz[p][kp[p]][:, rel]
+        if p == 2 and vnp.shape[0] != leaf.shape[0]:
+            vnp = np.pad(vnp, (0, leaf.shape[0] - vnp.shape[0]))
+        v = jnp.asarray(vnp, leaf.real.dtype
                         if jnp.iscomplexobj(leaf) else leaf.dtype)
         shape = ([1, 1, -1], [1, -1, 1], [-1, 1, 1])[p]
         leaves.append(leaf * v.reshape(shape).astype(leaf.dtype))

@@ -389,6 +389,7 @@ def typicality_correlation_kron(
     model, beta: float, site_a: int, site_b: int, t_points,
     kry_m: int = 30, cheb_n: int = 60, Ebounds=None, key=None,
     fused: bool = True, r0=None, imag_method: str = "chebyshev",
+    mesh=None, axis_name: str = "rows",
 ):
     """<Sz_a(t) Sz_b(0)>_beta by quantum typicality at kron BlockVec scale
     (VERDICT r3 next-7; completes BASELINE config #4 at the flagship layout).
@@ -398,6 +399,14 @@ def typicality_correlation_kron(
     e^{-beta H/2} -> Chebyshev co-evolution of |phi> = Sz_b|psi_beta> and
     |xi> = |psi_beta> -> overlaps <xi(t)| Sz_a |phi(t)>. Sector-preserving
     observables only (Sz); zero complex dtypes. Returns complex [T] numpy.
+
+    Pass `mesh` to run the WHOLE computation sharded (VERDICT r4 #4 — the
+    fourth end-to-end sharded driver): the matvec is the fused shard_map
+    kron apply, the random pair / thermal state / co-evolved states live as
+    P(rows)-sharded leaves throughout, Sz_site applies are GSPMD-local
+    broadcasts, and the overlaps psum. A given `r0` may be plain (it is
+    shard-padded here, so mesh and no-mesh runs from the same r0 agree) or
+    already in sharded form.
 
     Ref capability: src/TimeEvolution/QuantumTypicality.jl:33-211 (dead code
     in the reference — it cannot run at any size; SURVEY.md §2.1)."""
@@ -409,16 +418,44 @@ def typicality_correlation_kron(
         raise ValueError("typicality_correlation_kron needs "
                          "layout='sector_kron'")
     lay = make_sector_kron_layout(model, model.kron_splits, model.kron_pads)
-    pmv = kron_planes_matvec_fn(lay, fused=fused)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharded_kron_scaling import (
+            shard_kron_blockvec, sharded_kron_scaling_bv_matvec_fn)
+
+        smv, _, spec = sharded_kron_scaling_bv_matvec_fn(
+            model, mesh, axis_name=axis_name, use_fused=fused)
+
+        def pmv(pair):
+            return (smv(pair[0]), smv(pair[1]))
+
+        pmv.mv = smv
+        sh = NamedSharding(mesh, P(axis_name))
+
+        def _shard(bv):
+            if any(l.shape[0] != spec.ch_pad[gi]
+                   for gi, l in enumerate(bv.leaves)):
+                bv = shard_kron_blockvec(bv, spec)  # pad hi axes to D*b
+            return BlockVec([jax.device_put(l, sh) for l in bv.leaves])
+    else:
+        pmv = kron_planes_matvec_fn(lay, fused=fused)
+
+        def _shard(bv):
+            return bv
     if r0 is None:
         if key is None:
             key = jax.random.PRNGKey(0)
         kr, ki = jax.random.split(key)
         r0 = (bv_random(lay, kr, jnp.float32), bv_random(lay, ki, jnp.float32))
+    r0 = (_shard(r0[0]), _shard(r0[1]))
     inv = 1.0 / jnp.sqrt(pair_norm2(r0))
     pair = (r0[0] * inv, r0[1] * inv)
     if Ebounds is None:
-        Ebounds = kron_energy_bounds(lay, pmv, key=key)
+        v0b = _shard(bv_random(
+            lay, key if key is not None else jax.random.PRNGKey(7),
+            jnp.float32)) if mesh is not None else None
+        Ebounds = kron_energy_bounds(lay, pmv, key=key, v0=v0b)
     if imag_method == "chebyshev":
         # O(3 pairs) memory — the large-L default (the Krylov basis at
         # L=28 padded is ~0.4 GB x kry_m and crashes the 16 GB worker)

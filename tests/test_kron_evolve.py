@@ -408,3 +408,31 @@ class TestBf16Evolution:
         with pytest.raises(ValueError, match="bfloat16"):
             evolve_trajectory_kron(m, 0, 0.1, 1, state_dtype=jnp.bfloat16,
                                    mesh=mesh)
+
+
+def test_sharded_typicality_matches_unsharded(setup):
+    """typicality_correlation_kron(mesh=...) — the fourth end-to-end sharded
+    driver (VERDICT r4 #4): same r0 -> 8-device result == single-device kron
+    result at the existing cross-check tolerance."""
+    from jax.sharding import Mesh
+
+    from spindynamics_tpu.solvers.kron_evolve import (
+        typicality_correlation_kron)
+
+    m, lay = setup
+    key = jax.random.PRNGKey(5)
+    kr, ki = jax.random.split(key)
+    r0 = (bv_random(lay, kr, jnp.float32), bv_random(lay, ki, jnp.float32))
+    ts = np.linspace(0.0, 0.8, 3)
+    from spindynamics_tpu.solvers.kron_evolve import kron_energy_bounds
+
+    pmv = kron_planes_matvec_fn(lay, fused=False)
+    Eb = kron_energy_bounds(lay, pmv, key=key)
+    ref = typicality_correlation_kron(m, 0.6, 2, 5, ts, cheb_n=30,
+                                      Ebounds=Eb, r0=r0, fused=False)
+    mesh = Mesh(np.array(jax.devices()), ("rows",))
+    got = typicality_correlation_kron(m, 0.6, 2, 5, ts, cheb_n=30,
+                                      Ebounds=Eb, r0=r0, fused=False,
+                                      mesh=mesh)
+    np.testing.assert_allclose(got.real, ref.real, atol=2e-5)
+    np.testing.assert_allclose(got.imag, ref.imag, atol=2e-5)
