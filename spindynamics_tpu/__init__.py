@@ -93,6 +93,7 @@ from .solvers.runners import (
     evolve_trajectory,
     evolve_trajectory_planes,
     groundstate_kron,
+    kpm_correlation_matrix_kron,
     kpm_sqw_kron,
     lanczos_groundstate_checkpointed,
     lanczos_sqw_kron,

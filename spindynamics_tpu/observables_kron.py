@@ -40,6 +40,7 @@ __all__ = [
     "szsz_matrix_kron_sharded",
     "magnetization_per_site_kron_sharded",
     "bv_probs",
+    "bv_site_moments",
     "bv_apply_sz",
     "bv_sz_q",
     "bv_sz_q_weights",
@@ -106,24 +107,39 @@ def _site_map(layout):
     return out
 
 
+def bv_site_moments(w_leaves, layout: SectorKronLayout) -> jax.Array:
+    """[L] vector m_i = sum_states w(state) * sz_i(state) from per-group
+    weight leaves `w` — ONE pass over the state computes the moment against
+    ALL L sites via per-axis marginals (the observables_kron trick applied
+    to a general weight: w = |psi|^2 gives magnetization; w = psi * v gives
+    the KPM cross moments <psi| Sz_i |v> for every A-site at once,
+    runners.kpm_correlation_matrix_kron).
+
+    Works on SHARDED-form leaves ([D*b, cmp, clp]): the hi tables are
+    zero-padded to the leaf's hi length and the [hi] @ [hi, L3] contraction
+    partitions along the sharded axis (GSPMD inserts the psum)."""
+    sz = _sz_tables(layout)
+    L1, L2, L3 = layout.splits
+    dtype = w_leaves[0].dtype
+    parts = [jnp.zeros((L1,), dtype), jnp.zeros((L2,), dtype),
+             jnp.zeros((L3,), dtype)]
+    for w_leaf, (k_h, k_m, k_l, *_r) in zip(w_leaves, layout.groups):
+        kp = (k_l, k_m, k_h)
+        margs = (jnp.sum(w_leaf, axis=(0, 1)), jnp.sum(w_leaf, axis=(0, 2)),
+                 jnp.sum(w_leaf, axis=(1, 2)))
+        for p in range(3):
+            S = sz[p][kp[p]]
+            if p == 2 and S.shape[0] != w_leaf.shape[0]:
+                S = np.pad(S, ((0, w_leaf.shape[0] - S.shape[0]), (0, 0)))
+            parts[p] = parts[p] + margs[p] @ jnp.asarray(S, dtype)
+    return jnp.concatenate(parts)
+
+
 def magnetization_per_site_kron(x, layout: SectorKronLayout) -> jax.Array:
     """<Sz_i> per site from BlockVec (or (re, im) pair) state — one pass.
 
     Ref: src/Observables.jl:14-36 (threaded scalar loop)."""
-    sz = _sz_tables(layout)
-    L1, L2, L3 = layout.splits
-    probs = bv_probs(x)
-    dtype = probs[0].dtype
-    parts = [jnp.zeros((L1,), dtype), jnp.zeros((L2,), dtype),
-             jnp.zeros((L3,), dtype)]
-    for p_leaf, (k_h, k_m, k_l, *_r) in zip(probs, layout.groups):
-        kp = (k_l, k_m, k_h)
-        margs = (jnp.sum(p_leaf, axis=(0, 1)), jnp.sum(p_leaf, axis=(0, 2)),
-                 jnp.sum(p_leaf, axis=(1, 2)))
-        for p in range(3):
-            S = jnp.asarray(sz[p][kp[p]], dtype)
-            parts[p] = parts[p] + margs[p] @ S
-    return jnp.concatenate(parts)
+    return bv_site_moments(bv_probs(x), layout)
 
 
 def szsz_matrix_kron(x, layout: SectorKronLayout):

@@ -28,7 +28,8 @@ from .lanczos import estimate_energy_bounds
 
 __all__ = ["run_chebyshev", "run_krylov", "evolve_trajectory",
            "evolve_trajectory_planes", "lanczos_groundstate_checkpointed",
-           "groundstate_kron", "kpm_sqw_kron", "lanczos_sqw_kron"]
+           "groundstate_kron", "kpm_sqw_kron", "lanczos_sqw_kron",
+           "kpm_correlation_matrix_kron"]
 
 
 def evolve_trajectory_planes(model: SpinModel, psi0, dt: float, n_steps: int,
@@ -575,6 +576,129 @@ def kpm_sqw_kron(model, q_list, omega, kpm_m: int = 100, lanc_m: int = 40,
             doubling=True, density_2_over_a=False))
     info.update(E0=float(E0), bounds=(lo - pad, hi + pad), a=a, b=b)
     return S, info
+
+
+def kpm_correlation_matrix_kron(model, omega, n: int = 300,
+                                lanc_m: int = 40, cycles: int = 6,
+                                target_residual: float | None = 1e-3,
+                                kernel: str = "jackson", key=None,
+                                bounds_m: int = 40, fused: bool = True,
+                                psi0=None, E0=None, info=None,
+                                safety: float = 0.01, a=None, b=None,
+                                mesh=None, axis_name: str = "rows",
+                                sites=None):
+    """C[i, j, omega] = |S_{Sz_i Sz_j}(omega)| for all L x L site pairs at
+    kron BlockVec scale (VERDICT r4 #6; flat version solvers/kpm.
+    kpm_correlation_matrix; ref src/TimeEvolution/KPM.jl:214-235,72-116).
+
+    Per B-site j (serial — peak memory is psi0 + 3 BlockVecs regardless of
+    L): phi_j = Sz_j|psi0> normalized, Chebyshev recurrence
+    v_n = T_n(H~)|phi_j> through the fused kernel, and per step the moments
+    against ALL A-sites in ONE state pass via the per-axis marginal trick
+    (observables_kron.bv_site_moments: mu_n[i] = <psi0| Sz_i |v_n> is a
+    weighted-sz sum with weight psi0 * v_n — Sz_i is diagonal). Uses the
+    reference's second KPM convention (no n>=1 doubling, 2/a density, abs)
+    like the flat path, so the two agree spot-on.
+
+    Pass `mesh` to run psi0 and every recurrence P(rows)-sharded (the
+    marginal contractions partition; GSPMD inserts the psums). `sites`
+    restricts the B-site loop (C then has shape [L, len(sites), W]).
+
+    Returns (C [L, n_sites, n_omega] numpy, info)."""
+    from ..observables_kron import bv_apply_sz, bv_site_moments
+    from .blockvec import BlockVec
+    from .chebyshev import kpm_reconstruct
+    from .lanczos import lanczos_iteration, tridiag_eigh
+
+    if psi0 is None or E0 is None:
+        E0, psi0, info, lay = groundstate_kron(
+            model, lanc_m=lanc_m, cycles=cycles,
+            target_residual=target_residual, key=key, fused=fused,
+            mesh=mesh, axis_name=axis_name)
+    else:
+        from ..ops.sector_kron import make_sector_kron_layout
+
+        lay = make_sector_kron_layout(model, model.kron_splits,
+                                      model.kron_pads)
+    info = dict(info or {})
+    mv, _spec = _kron_matvec_for(model, lay, fused, mesh, axis_name)
+
+    rdt = jnp.dtype(model.dtype) if jnp.dtype(model.dtype) in (
+        jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)) else jnp.float32
+    psi0 = psi0.astype(rdt)
+
+    if a is None or b is None:
+        from .blockvec import bv_random
+
+        v0b = bv_random(lay, jax.random.PRNGKey(7), rdt)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharded_kron_scaling import shard_kron_blockvec
+
+            sh = NamedSharding(mesh, P(axis_name))
+            v0b = BlockVec([jax.device_put(l, sh)
+                            for l in shard_kron_blockvec(v0b, _spec).leaves])
+        fac = lanczos_iteration(mv, v0b, bounds_m)
+        evals, _ = tridiag_eigh(fac.alphas, fac.betas, fac.m_eff)
+        lo, hi = float(evals.min()), float(evals.max())
+        if E0 is not None:
+            lo = min(lo, float(E0))
+        pad = safety * 0.5 * (hi - lo) + 1e-6
+        a = (hi - lo + 2 * pad) / 2.0
+        b = (hi + lo) / 2.0
+        info.update(bounds=(lo - pad, hi + pad))
+    a_inv = jnp.asarray(1.0 / a, rdt)
+    bb = jnp.asarray(b, rdt)
+
+    def mvr(bv):
+        return (mv(bv) - bb * bv) * a_inv
+
+    @partial(jax.jit, static_argnums=(2,))
+    def _moments_all_A(psi_leaves, phi_leaves, n):
+        """[n, L] moments of one B-state against all A-sites: the Chebyshev
+        recurrence with a one-pass marginal contraction per step."""
+        psi = BlockVec(list(psi_leaves))
+        phi = BlockVec(list(phi_leaves))
+
+        def mu(v):
+            return bv_site_moments(
+                [p * x for p, x in zip(psi.leaves, v.leaves)], lay)
+
+        v_curr = mvr(phi)
+        mu0 = mu(phi)
+        mu1 = mu(v_curr)
+
+        def step(carry, _):
+            v_prev, v_curr = carry
+            v_next = mvr(v_curr) * 2.0 - v_prev
+            return (v_curr, v_next), mu(v_next)
+
+        _, mus = jax.lax.scan(step, (phi, v_curr), None, length=n - 2)
+        return jnp.concatenate([mu0[None], mu1[None], mus], axis=0)
+
+    if sites is None:
+        sites = range(model.L)
+    mu_rows, norms = [], []
+    for j in sites:
+        phi = bv_apply_sz(psi0, lay, j)
+        n2 = float(sum(jnp.vdot(x, x) for x in phi.leaves))
+        if n2 <= 0.0:
+            mu_rows.append(np.zeros((n, model.L), np.float64))
+            norms.append(0.0)
+            continue
+        nrm = np.sqrt(n2)
+        phi = phi * jnp.asarray(1.0 / nrm, rdt)
+        mu = _moments_all_A(tuple(psi0.leaves), tuple(phi.leaves), n)
+        mu_rows.append(np.asarray(mu, np.float64) * nrm)
+        norms.append(nrm)
+    mu_all = jnp.asarray(np.stack(mu_rows).transpose(0, 2, 1))  # [B, L_A, n]
+    omega = jnp.asarray(np.asarray(omega, np.float64))
+    S = kpm_reconstruct(mu_all, omega, a, b, kernel=kernel, doubling=False,
+                        density_2_over_a=True, clamp=None, clip_nonneg=True)
+    C = np.abs(np.asarray(jnp.swapaxes(S, 0, 1)))  # [i=A, j=B, W]
+    info.update(E0=None if E0 is None else float(E0), a=float(a), b=float(b))
+    return C, info
 
 
 def _make_bucketed_finalize(layout, tables, n_buckets: int = 4):

@@ -229,3 +229,83 @@ def test_kpm_vs_lanczos_sqw_cross_method(setup):
     int_L = np.trapezoid(S_L[0], omega)
     int_K = np.trapezoid(S_K_cmp, omega)
     assert int_K == pytest.approx(int_L, rel=0.15)
+
+
+class TestKpmCorrelationMatrixKron:
+    """kpm_correlation_matrix_kron — T=0 site-pair correlations at the kron
+    BlockVec layout (VERDICT r4 #6; flat oracle kpm_correlation_matrix; ref
+    src/TimeEvolution/KPM.jl:214-235)."""
+
+    @pytest.fixture(scope="class")
+    def kron_setup(self):
+        import jax
+
+        from spindynamics_tpu import (lanczos_groundstate,
+                                      kpm_correlation_matrix, matvec_fn,
+                                      xxz_chain)
+        from spindynamics_tpu.ops.sector_kron import (
+            PAD_SENTINEL, flat_to_blocks, kron_order_states,
+            make_sector_kron_layout)
+        from spindynamics_tpu.solvers.blockvec import BlockVec
+
+        L = 10
+        m64 = xxz_chain(L, Jxy=1.0, Jz=0.6, nup=L // 2, dtype=jnp.float64)
+        mk64 = xxz_chain(L, Jxy=1.0, Jz=0.6, nup=L // 2, dtype=jnp.float64,
+                         layout="sector_kron")
+        lay = make_sector_kron_layout(mk64, mk64.kron_splits, mk64.kron_pads)
+        E0, psi0, _ = lanczos_groundstate(matvec_fn(m64), m64.n_states,
+                                          lanc_m=70, dtype=jnp.float64)
+        psi0 = np.asarray(psi0)
+        states_asc = np.asarray(m64.basis_states())
+        states_k = kron_order_states(L, L // 2, mk64.kron_splits,
+                                     mk64.kron_pads)
+        valid = states_k != PAD_SENTINEL
+        flat_k = np.zeros(lay.n_states)
+        flat_k[valid] = psi0[np.searchsorted(states_asc, states_k[valid])]
+        bv = BlockVec(flat_to_blocks(jnp.asarray(flat_k), lay))
+        return m64, mk64, lay, float(E0), psi0, bv
+
+    def test_matches_flat_f64(self, kron_setup):
+        from spindynamics_tpu import (kpm_correlation_matrix,
+                                      kpm_correlation_matrix_kron)
+
+        m64, mk64, lay, E0, psi0, bv = kron_setup
+        omega = np.linspace(-8.0, 2.0, 40)
+        a, b = 6.0, -2.5
+        C_ref = kpm_correlation_matrix(jnp.asarray(psi0 + 0j), omega, m64,
+                                       n=60, a=a, b=b)
+        C, info = kpm_correlation_matrix_kron(mk64, omega, n=60, a=a, b=b,
+                                              fused=False, psi0=bv, E0=E0,
+                                              info={})
+        assert C.shape == (m64.L, m64.L, 40)
+        scale = float(np.max(np.asarray(C_ref)))
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C_ref), rtol=0,
+                                   atol=1e-6 * scale)
+
+    def test_mesh_matches_single_device(self, kron_setup):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from spindynamics_tpu import kpm_correlation_matrix_kron
+        from spindynamics_tpu.parallel.sharded_kron_scaling import (
+            KronShardSpec, shard_kron_blockvec)
+        from spindynamics_tpu.solvers.blockvec import BlockVec
+
+        m64, mk64, lay, E0, psi0, bv = kron_setup
+        omega = np.linspace(-8.0, 2.0, 20)
+        a, b = 6.0, -2.5
+        C1, _ = kpm_correlation_matrix_kron(mk64, omega, n=40, a=a, b=b,
+                                            fused=False, psi0=bv, E0=E0,
+                                            info={}, sites=[2, 5])
+        mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
+        spec = KronShardSpec(lay, 8)
+        sh = NamedSharding(mesh, P("rows"))
+        bv_sh = BlockVec([jax.device_put(l, sh) for l in
+                          shard_kron_blockvec(bv, spec).leaves])
+        C8, _ = kpm_correlation_matrix_kron(mk64, omega, n=40, a=a, b=b,
+                                            fused=False, psi0=bv_sh, E0=E0,
+                                            info={}, mesh=mesh,
+                                            sites=[2, 5])
+        assert C8.shape == (m64.L, 2, 20)
+        scale = float(np.max(C1))
+        np.testing.assert_allclose(C8, C1, rtol=0, atol=1e-8 * scale)
