@@ -88,8 +88,21 @@ def collective_traffic_model(layout, spec, cfg=None, itemsize=4):
         rows crossing a shard boundary actually travel, so the realized
         collective-permute volume is bounded by a small multiple of this).
 
-    Predicted ICI time per apply ~ (reduce_scatter_bytes * (D-1)/D +
-    window_bytes) / ici_bw."""
+      overlappable_bytes: ICI volume whose transfer can hide behind kernel
+        compute under the two-phase apply (VERDICT r4 #1): every W_hi
+        psum_scatter is issued in phase A before any kernel launches (its
+        operand depends only on the input state — asserted on the jaxpr in
+        tests/test_sharding.py), and the mid|hi windows are exchanged
+        before the shard_map body. All per-apply collective traffic is
+        therefore schedulable off the critical path; the EXPOSED ICI time
+        is ~ max(0, overlappable_bytes / ici_bw - kernel_compute_time)
+        instead of the serial sum (predicted ~55 ms ICI vs ~64 ms compute
+        at L=32 D=8 — overlap is the difference between ~50% and the >=80%
+        multi-host efficiency target, BASELINE.md).
+
+    Predicted SERIAL ICI time per apply ~ (reduce_scatter_bytes * (D-1)/D +
+    window_bytes) / ici_bw; with the two-phase schedule the exposed time is
+    the max-0 expression above."""
     rs_bytes = 0
     n_rs = 0
     win_bytes = 0
@@ -111,8 +124,10 @@ def collective_traffic_model(layout, spec, cfg=None, itemsize=4):
             (g_src, rb0, cb0, lnb, mids) = cfg.plans[gi].crossh[ei]
             (_, _, _, chs, _, _, cmps, clps) = layout.groups[g_src]
             win_bytes += lnb * cmps * clps * itemsize
+    D = spec.D
     return {"n_reduce_scatter": n_rs, "reduce_scatter_bytes": rs_bytes,
-            "window_bytes": win_bytes}
+            "window_bytes": win_bytes,
+            "overlappable_bytes": rs_bytes * (D - 1) // max(D, 1) + win_bytes}
 
 
 class KronShardSpec:
@@ -261,7 +276,22 @@ def _local_apply(blk, windows, tabs, spec: KronShardSpec, axis_name: str,
     per group, and mid|hi cross terms arrive pre-aligned in `windows`
     (D > 1) or stream through the kernel's shifted-BlockSpec v2 path
     (D == 1, where b == C_h and the Mosaic modules are byte-identical to the
-    single-device kernel's — shared compile cache)."""
+    single-device kernel's — shared compile cache).
+
+    COLLECTIVE/COMPUTE OVERLAP (VERDICT r4 #1): the apply runs in two
+    phases. Phase A computes EVERY group's hi-axis partial Z and issues its
+    psum_scatter; phase B runs the per-group kernels (and XLA tails)
+    consuming the scattered seeds. No scatter's operand depends on any
+    kernel output (asserted structurally on the jaxpr in
+    tests/test_sharding.py), so the latency-hiding scheduler is free to
+    keep group g's reduce-scatter in flight while other groups' kernels
+    execute — the ICI time (~55 ms/apply predicted at L=32 D=8, PARITY 6g)
+    hides behind the ~64 ms of kernel compute instead of adding to it.
+    Numerics are the exact same ops in the same per-group order as the
+    serialized r4 form (scheduling freedom only); under HBM pressure XLA's
+    memory-aware scheduler degrades toward the serial order instead of
+    OOMing. Replaces the thread-parallel scatter of the reference
+    (/root/reference/src/Hamiltonian.jl:128-181)."""
     from ..ops.sector_kron import _contract
 
     lay, D = spec.layout, spec.D
@@ -287,13 +317,29 @@ def _local_apply(blk, windows, tabs, spec: KronShardSpec, axis_name: str,
         return jax.lax.dynamic_slice(
             v, ((d * spec.b[gi]).astype(jnp.int32),), (spec.b[gi],))
 
+    # ---- phase A: hi-axis partials + psum_scatter ISSUE for all groups ----
+    seeds = []
+    for gi in range(len(lay.groups)):
+        fused_g = cfg is not None and gi in cfg.fused_set
+        plan = cfg.plans[gi] if fused_g else None
+        loc_add, Z = _hi_terms_z(
+            gi, G, tabs, lay, spec, d, rdtype,
+            include_cross=not (fused_g and plan.crossh_fusable),
+            include_local=not fused_g)
+        seed = None
+        if Z is not None:
+            seed = jax.lax.psum_scatter(
+                Z, axis_name, scatter_dimension=0, tiled=True)
+        seeds.append((loc_add, seed))
+
+    # ---- phase B: kernels / XLA tails consume the scattered seeds ---------
     outs = []
     win_pos = {key: i for i, key in enumerate(cfg.win_order)} if cfg else {}
     for gi, (k_h, k_m, k_l, ch, cm, cl, cmp, clp) in enumerate(lay.groups):
         if cfg is not None and gi in cfg.fused_set:
             og = _fused_group(
                 gi, G, windows, win_pos, tabs, lay, spec, cfg, rdtype, d,
-                axis_name)
+                axis_name, seeds[gi][1])
             outs.append(og if leaves_in else og.reshape(-1))
             continue
         kp = (k_l, k_m, k_h)
@@ -322,14 +368,12 @@ def _local_apply(blk, windows, tabs, spec: KronShardSpec, axis_name: str,
             if k in tabs["W"][p]:
                 acc = acc + _contract(T, tabs["W"][p][k], p, rdtype)
 
-        # ---- hi-axis terms: partials into Z, ONE psum_scatter per group ----
-        loc_add, Z = _hi_terms_z(gi, G, tabs, lay, spec, d, rdtype,
-                                 include_cross=True, include_local=True)
+        # ---- hi-axis terms: phase-A scattered seed + local cross adds ------
+        loc_add, seed = seeds[gi]
         if loc_add is not None:
             acc = acc + loc_add
-        if Z is not None:
-            acc = acc + jax.lax.psum_scatter(
-                Z, axis_name, scatter_dimension=0, tiled=True)
+        if seed is not None:
+            acc = acc + seed
         if cfg is not None:
             # bf16 amplitude mode: XLA tail accumulates f32; cast back so
             # fused and tail leaves share the state dtype
@@ -441,23 +485,19 @@ def _hi_terms_z(gi, G, tabs, lay, spec, d, rdtype, include_cross=True,
 
 
 def _fused_group(gi, G, windows, win_pos, tabs, lay, spec, cfg, rdtype, d,
-                 axis_name):
+                 axis_name, seed):
     """One fused group's local output [b, cmp, clp]: Pallas kernel for the
-    hi-local terms, psum_scatter(W_hi partial) as the seed, mid|hi cross via
-    windows (D > 1) or the kernel's shifted-BlockSpec v2 path (D == 1)."""
+    hi-local terms, the phase-A psum_scatter(W_hi partial) as the seed,
+    mid|hi cross via windows (D > 1) or the kernel's shifted-BlockSpec v2
+    path (D == 1). The seed is scattered by the CALLER before any kernel
+    launches so the collective can overlap other groups' compute."""
     from ..ops.pallas_kron import _bf16_exact, _build_group_call
 
     plan = cfg.plans[gi]
     (k_h, k_m, k_l, ch, cm, cl, cmp, clp) = lay.groups[gi]
     b = spec.b[gi]
-    _, Z = _hi_terms_z(gi, G, tabs, lay, spec, d, rdtype,
-                       include_cross=not plan.crossh_fusable,
-                       include_local=False)
-    seed = None
-    if Z is not None:
-        seed = jax.lax.psum_scatter(
-            Z, axis_name, scatter_dimension=0, tiled=True
-        ).astype(cfg.state_dtype)
+    if seed is not None:
+        seed = seed.astype(cfg.state_dtype)
     args = [G[gi]]
     has_seed = seed is not None
     if has_seed:
