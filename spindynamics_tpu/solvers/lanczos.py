@@ -128,18 +128,56 @@ def _lanczos_scan(
     sqrt_eps = jnp.sqrt(eps)
 
     use_buffer = bool(reorth)  # reorth needs the basis in-carry
-    if (use_buffer or store_basis) and isinstance(v1, BlockVec):
-        raise TypeError("reorth/store_basis need a flat state, not BlockVec "
-                        "(use the two-pass/restarted ground states)")
-    V0 = jnp.zeros((m, v1.shape[0]), dtype) if use_buffer else None
+    is_bv = isinstance(v1, BlockVec)
+    # BlockVec states store the basis as stacked per-group leaves
+    # [m, C_h(or D*b), cmp, clp] — reorth/store_basis on the kron layout
+    # where f32 orthogonality loss actually bites (VERDICT r4 #8); sharded
+    # leaves keep their P(rows) axis and the projections partition via GSPMD.
     if use_buffer:
-        V0 = V0.at[0].set(v1)
+        if is_bv:
+            V0 = [jnp.zeros((m,) + l.shape, l.dtype).at[0].set(l)
+                  for l in v1.leaves]
+        else:
+            V0 = jnp.zeros((m, v1.shape[0]), dtype).at[0].set(v1)
+    else:
+        V0 = None
 
     def _project_out(V, w, j):
         """w minus its components along V[0..j] (two MXU matmuls)."""
         mask = (jnp.arange(m) <= j).astype(rdtype)
+        if is_bv:
+            coeffs = sum(
+                jnp.tensordot(Vl.conj(), wl,
+                              axes=(tuple(range(1, Vl.ndim)),
+                                    tuple(range(wl.ndim))))
+                for Vl, wl in zip(V, w.leaves))
+            coeffs = coeffs * mask.astype(coeffs.dtype)
+            return BlockVec([
+                wl - jnp.tensordot(coeffs.astype(wl.dtype), Vl, axes=1)
+                for wl, Vl in zip(w.leaves, V)])
         coeffs = (V.conj() @ w) * mask.astype(dtype)
         return w - V.T @ coeffs
+
+    def _buffer_update(V, v_next, j):
+        """V[j+1] = v_next when j+1 < m. Flat states keep the original
+        lax.cond; BlockVec uses a masked unconditional write (a cond over a
+        many-leaf pytree inside scan can hang the remote compiler for 30+
+        min — CLAUDE.md)."""
+        if not is_bv:
+            return jax.lax.cond(
+                j + 1 < m,
+                lambda V: jax.lax.dynamic_update_index_in_dim(
+                    V, v_next, j + 1, axis=0),
+                lambda V: V,
+                V,
+            )
+        idx = jnp.minimum(j + 1, m - 1)
+        keep = j + 1 < m
+        return [
+            jax.lax.dynamic_update_index_in_dim(
+                Vl, jnp.where(keep, vl, Vl[m - 1]), idx, axis=0)
+            for Vl, vl in zip(V, v_next.leaves)
+        ]
 
     # seeded (axpy) recurrence: w = H v_j - beta_{j-1} v_{j-1} folded into the
     # matvec's kernel seed, so v_prev dies inside the apply — the second-pass
@@ -204,12 +242,7 @@ def _lanczos_scan(
         alpha_out = jnp.where(active, alpha, last_alpha)
         beta_out = jnp.where(ok, beta, jnp.zeros_like(beta))
         if use_buffer:
-            V = jax.lax.cond(
-                j + 1 < m,
-                lambda V: jax.lax.dynamic_update_index_in_dim(V, v_next, j + 1, axis=0),
-                lambda V: V,
-                V,
-            )
+            V = _buffer_update(V, v_next, j)
         new_carry = (v_curr, v_next, beta_out, ok, alpha_out, V,
                      om_prev, om_curr, a_hist, b_hist)
         ys = (alpha_out, beta_out, active)
@@ -235,6 +268,9 @@ def _lanczos_scan(
     alphas, betas, active = ys[:3]
     if store_basis:
         V = carry[5] if use_buffer else ys[3]
+        if is_bv and use_buffer:
+            V = BlockVec(V)  # stacked [m, ...] leaves (store_basis-only
+            # path already stacks through the scan's pytree output)
     else:
         V = None
     return alphas, betas, active, V
@@ -399,7 +435,7 @@ def estimate_energy_bounds(
 
 def lanczos_groundstate(
     matvec,
-    N: int,
+    N: int | None,
     lanc_m: int = 100,
     tol: float = 1e-12,
     dtype=jnp.float32,
@@ -407,14 +443,24 @@ def lanczos_groundstate(
     reorth="full",
     mask=None,
     compensated: bool | None = None,
+    v0=None,
 ):
     """Ground-state energy and vector with stored basis + reorthogonalization
     (ref: src/Lanczos.jl:78-165). Returns (E0, psi_gs, info dict with residual).
 
     reorth: "full" (every step, reference parity) | "selective" (omega-
     triggered full sweeps — same accuracy at a fraction of the matmuls when
-    the spectrum converges slowly) | False."""
-    v0 = _random_start(N, dtype, key, mask)
+    the spectrum converges slowly) | False.
+
+    v0: optional start vector — a flat array OR a BlockVec (the kron layout;
+    VERDICT r4 #8): the Krylov basis is then stored as stacked per-group
+    leaves and the reorthogonalization projections run as per-leaf
+    tensordots. Memory is O(m * N) either way — use the restarted/two-pass
+    solvers when the basis does not fit."""
+    from .blockvec import BlockVec
+
+    if v0 is None:
+        v0 = _random_start(N, dtype, key, mask)
     if reorth is True:
         reorth = "full"
     fac = lanczos_iteration(
@@ -428,10 +474,18 @@ def lanczos_groundstate(
     E0 = float(evals[idx])
     y_full = np.zeros(lanc_m)
     y_full[:k] = evecs[:, idx]
-    psi = jnp.asarray(y_full, _real_dtype(dtype)).astype(fac.basis.dtype) @ fac.basis
-    psi = psi / jnp.linalg.norm(psi).astype(psi.dtype)
+    if isinstance(fac.basis, BlockVec):
+        yb = jnp.asarray(y_full, _real_dtype(dtype))
+        psi = BlockVec([jnp.tensordot(yb.astype(l.dtype), l, axes=1)
+                        for l in fac.basis.leaves])
+    else:
+        psi = jnp.asarray(y_full, _real_dtype(dtype)).astype(
+            fac.basis.dtype) @ fac.basis
+    nrm = _norm_c(psi, False)
+    psi = psi / jnp.maximum(nrm, jnp.finfo(nrm.dtype).tiny).astype(nrm.dtype)
     hpsi = matvec(psi)
-    residual = float(jnp.linalg.norm(hpsi - jnp.asarray(E0, psi.dtype) * psi))
+    residual = float(_norm_c(hpsi - psi * jnp.asarray(E0, _real_dtype(dtype)),
+                             False))
     return E0, psi, {"residual": residual, "m_eff": k, "evals": evals}
 
 

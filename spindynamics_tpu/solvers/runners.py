@@ -273,7 +273,7 @@ def lanczos_groundstate_checkpointed(
 def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
                      target_residual: float | None = 1e-3, key=None,
                      fused: bool = True, dtype=None, mesh=None,
-                     axis_name: str = "rows"):
+                     axis_name: str = "rows", reorth=None):
     """Ground state of a sector_kron model in BLOCKS form (the TPU fast path).
 
     Runs the restarted two-pass Lanczos (+ Chebyshev-filter polish) on a
@@ -287,12 +287,19 @@ def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
     Pass `mesh` to run the whole solve SHARDED: the matvec is the fused
     shard_map kron apply (parallel/sharded_kron_scaling BlockVec form) and
     the returned Ritz vector's leaves stay P(rows)-sharded — the multi-host
-    L >= 32 route (per-device memory ~ N/D)."""
+    L >= 32 route (per-device memory ~ N/D).
+
+    reorth = "selective" | "full" (VERDICT r4 #8): run ONE stored-basis
+    Lanczos cycle with (omega-triggered or every-step) reorthogonalization
+    instead of the restarted two-pass — the anti-orthogonality-loss tool on
+    the layout where f32 loss actually bites. Memory O(lanc_m * N): use
+    only where the basis fits (L <= ~26 on one 16 GB chip at lanc_m = 100);
+    `cycles`/`target_residual` are ignored in this mode."""
     import jax
 
     from ..ops.sector_kron import make_sector_kron_layout, sector_kron_tables
     from .blockvec import BlockVec, bv_random
-    from .lanczos import lanczos_groundstate_restarted
+    from .lanczos import lanczos_groundstate, lanczos_groundstate_restarted
 
     if model.kron_splits is None:
         raise ValueError("groundstate_kron needs layout='sector_kron'")
@@ -314,6 +321,10 @@ def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
                 bv_random(lay, key if key is not None
                           else jax.random.PRNGKey(0), jnp.dtype(dtype)),
                 spec).leaves])
+        if reorth:
+            E0, psi, info = lanczos_groundstate(
+                mv, None, lanc_m=lanc_m, dtype=dtype, reorth=reorth, v0=v0)
+            return E0, psi, info, lay
         # default _ritz_finalize: one full H|psi> alongside psi — per-device
         # that is ~2 N/D vectors, fine wherever the solve itself fits
         E0, psi, info = lanczos_groundstate_restarted(
@@ -342,6 +353,10 @@ def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
 
     v0 = bv_random(lay, key if key is not None else jax.random.PRNGKey(0),
                    jnp.dtype(dtype))
+    if reorth:
+        E0, psi, info = lanczos_groundstate(
+            mv, None, lanc_m=lanc_m, dtype=dtype, reorth=reorth, v0=v0)
+        return E0, psi, info, lay
     finalize = _make_bucketed_finalize(lay, tables)
     E0, psi, info = lanczos_groundstate_restarted(
         mv, None, lanc_m=lanc_m, cycles=cycles, dtype=dtype,

@@ -189,3 +189,45 @@ def test_f32_restarted_residual():
 
     E64, _, _ = lgs(matvec_fn(m64), m64.n_states, lanc_m=120, dtype=jnp.float64)
     assert E0 == pytest.approx(E64, abs=2e-4)
+
+
+def test_blockvec_selective_reorth_groundstate_kron():
+    """reorth='selective' on BlockVec kron states (VERDICT r4 #8): one
+    stored-basis cycle at lanc_m=100 reaches the f64 ground energy and
+    matches the restarted two-pass result — the omega recurrence + stacked-
+    leaf basis projections working on the layout where f32 orthogonality
+    loss actually bites."""
+    from spindynamics_tpu import groundstate_kron, lanczos_groundstate
+
+    L = 16
+    mk = xxz_chain(L, Jxy=1.0, Jz=1.0, nup=L // 2, dtype=jnp.float32,
+                   layout="sector_kron")
+    m64 = xxz_chain(L, Jxy=1.0, Jz=1.0, nup=L // 2, dtype=jnp.float64)
+    E64, _, _ = lanczos_groundstate(matvec_fn(m64), m64.n_states,
+                                    lanc_m=120, dtype=jnp.float64)
+    E_sel, psi_sel, info_sel, lay = groundstate_kron(
+        mk, lanc_m=100, fused=False, reorth="selective")
+    assert E_sel == pytest.approx(E64, abs=5e-4)
+    assert info_sel["residual"] < 5e-2
+    # the basis came back as stacked BlockVec leaves and psi is a BlockVec
+    assert psi_sel.leaves[0].ndim == 3
+    # single-cycle selective == the restarted route (VERDICT done criterion)
+    E_rst, _, info_rst, _ = groundstate_kron(
+        mk, lanc_m=40, cycles=6, target_residual=1e-4, fused=False)
+    assert E_sel == pytest.approx(E_rst, abs=5e-4)
+
+
+def test_blockvec_full_reorth_matches_selective():
+    """reorth='full' on BlockVec states: reference-parity every-step
+    reorthogonalization, same ground energy as selective."""
+    from spindynamics_tpu import groundstate_kron
+
+    L = 12
+    mk = xxz_chain(L, Jxy=1.0, Jz=0.5, nup=L // 2, dtype=jnp.float32,
+                   layout="sector_kron")
+    E_full, _, info_full, _ = groundstate_kron(mk, lanc_m=60, fused=False,
+                                               reorth="full")
+    E_sel, _, info_sel, _ = groundstate_kron(mk, lanc_m=60, fused=False,
+                                             reorth="selective")
+    assert E_full == pytest.approx(E_sel, abs=2e-4)
+    assert info_full["residual"] < 5e-2
