@@ -63,6 +63,12 @@ def _add_common(p):
                    help="JAX platform override (e.g. cpu); needed because the "
                         "ambient sitecustomize pins the TPU relay regardless "
                         "of JAX_PLATFORMS")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="run the solve SHARDED over an N-device 1-D row mesh "
+                        "(sector_kron layout only: the shard_map fused apply, "
+                        "P(rows) state end to end). With --platform cpu, N "
+                        "virtual CPU devices are created — the TPU-world "
+                        "multi-chip path, testable on one host")
 
 
 def main(argv=None):
@@ -109,6 +115,15 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.mesh and args.mesh > 1 and args.platform == "cpu":
+        try:
+            # must happen before backend init: N virtual CPU devices for the
+            # sharded path (the in-process equivalent of
+            # --xla_force_host_platform_device_count)
+            jax.config.update("jax_num_cpu_devices", args.mesh)
+        except RuntimeError:
+            pass  # backend already initialized (in-process callers); the
+            # device-count check below still validates
     if args.f32 is None:
         args.f32 = jax.default_backend() != "cpu"
     if not args.f32:
@@ -127,24 +142,51 @@ def main(argv=None):
     t0 = time.time()
     model = _build_model(args)
     mv = sd.matvec_fn(model)
+    mesh = None
+    if args.mesh:
+        if model.kron_splits is None:
+            ap.error("--mesh needs the sector_kron layout "
+                     "(--layout sector_kron, or --sz0 with L >= 24 auto)")
+        if args.mesh > len(jax.devices()):
+            ap.error(f"--mesh {args.mesh} > {len(jax.devices())} available "
+                     "devices (with --platform cpu, virtual devices are "
+                     "created to match)")
+        from .parallel.distributed import mesh_from_topology
+
+        mesh = mesh_from_topology(args.mesh)
     info = {"L": model.L, "nup": model.nup, "mode": model.mode,
             "dim": model.dim, "n_states": model.n_states,
             "build_s": round(time.time() - t0, 2)}
+    if mesh is not None:
+        info["mesh"] = args.mesh
+
+    def _unshard_bv(bv, lay):
+        """Sharded-form BlockVec leaves -> plain (for --out flat dumps)."""
+        if mesh is None:
+            return bv
+        from .parallel.sharded_kron_scaling import (
+            KronShardSpec, unshard_kron_blockvec)
+
+        return unshard_kron_blockvec(bv, KronShardSpec(lay, args.mesh))
 
     if args.cmd == "groundstate":
         # stored-basis Lanczos needs m x N memory; switch to two-pass when the
         # basis would exceed ~4 GB
         auto_twopass = model.n_states * args.lanc_m * 8 > 4e9
         t0 = time.time()
-        if model.kron_splits is not None and (args.twopass or auto_twopass):
+        if model.kron_splits is not None and (args.twopass or auto_twopass
+                                              or mesh is not None):
             # BlockVec restarted solve with the fused Pallas hi-local kernel
-            # (ops/pallas_kron) — the single-chip L>=24 fast path
+            # (ops/pallas_kron) — the single-chip L>=24 fast path; --mesh N
+            # runs it sharded (shard_map fused apply, P(rows) state)
             E0, psi_bv, gs_info, lay = sd.groundstate_kron(
                 model, lanc_m=args.lanc_m, cycles=args.cycles,
-                target_residual=1e-3 if args.f32 else 1e-10)
+                target_residual=1e-3 if args.f32 else 1e-10,
+                fused=jax.default_backend() != "cpu", mesh=mesh)
             from spindynamics_tpu.ops.sector_kron import blocks_to_flat
 
-            psi = blocks_to_flat(psi_bv.leaves, lay) if args.out else None
+            psi = blocks_to_flat(_unshard_bv(psi_bv, lay).leaves, lay) \
+                if args.out else None
             gs_info.setdefault("m_eff", gs_info.get("m_eff", 0))
         else:
             fn = (sd.lanczos_groundstate_twopass
@@ -158,22 +200,31 @@ def main(argv=None):
             np.savez(args.out, psi=np.asarray(psi), **{k: v for k, v in info.items()
                                                         if np.isscalar(v)})
     elif args.cmd == "sqw":
-        if model.kron_splits is not None and args.method == "kpm":
-            # BlockVec fast path: restarted ground state + per-plane moments
-            # through the fused kernel (runners.kpm_sqw_kron) — the L>=24
-            # single-chip S(q, omega) route
+        if model.kron_splits is not None:
+            # BlockVec fast paths: restarted ground state + fused-kernel
+            # recurrences, the L>=24 single-chip S(q, omega) routes —
+            # runners.kpm_sqw_kron / lanczos_sqw_kron (both spectral paths
+            # of the reference at the flagship layout); --mesh N shards the
+            # whole solve
             q = [2 * np.pi * k / model.L for k in range(model.L)]
             omega = np.linspace(0.0, args.omega_max, args.n_omega)
             t0 = time.time()
-            S, sinfo = sd.kpm_sqw_kron(model, q, omega, kpm_m=args.kpm_m,
-                                       lanc_m=min(args.lanc_m, 50))
+            fused = jax.default_backend() != "cpu"
+            if args.method == "kpm":
+                S, sinfo = sd.kpm_sqw_kron(model, q, omega, kpm_m=args.kpm_m,
+                                           lanc_m=min(args.lanc_m, 50),
+                                           fused=fused, mesh=mesh)
+            else:
+                S, sinfo = sd.lanczos_sqw_kron(
+                    model, q, omega, lanc_m=args.lanc_m, eta=args.eta,
+                    gs_lanc_m=min(args.lanc_m, 50), fused=fused, mesh=mesh)
             info.update(E0=sinfo["E0"], S_max=float(S.max()),
                         solve_s=round(time.time() - t0, 2))
             if args.out:
                 np.savez(args.out, S=S, q=np.asarray(q), omega=omega,
                          E0=sinfo["E0"])
             print(json.dumps(info))
-            return
+            return 0
         if model.n_states * args.lanc_m * 8 > 4e9:
             E0, psi0, _ = sd.lanczos_groundstate_restarted(
                 mv, model.n_states, lanc_m=min(args.lanc_m, 50), cycles=4,
@@ -230,7 +281,7 @@ def main(argv=None):
                     if args.state == "domain_wall" else neel_bitstring(model))
             pair, obs, tinfo = sd.evolve_trajectory_kron(
                 model, bits, dt, args.steps, cheb_n=args.cheb_n,
-                fused=jax.default_backend() != "cpu")
+                fused=jax.default_backend() != "cpu", mesh=mesh)
             nrm = float(tinfo["norms"][-1])
             # flat dump of the final state planes (consumers of the npz
             # 'psi' key get real data, not a zero-length placeholder)
@@ -239,8 +290,10 @@ def main(argv=None):
             _lay = make_sector_kron_layout(model, model.kron_splits,
                                            model.kron_pads)
             psi_out = np.stack([
-                np.asarray(blocks_to_flat(pair[0].leaves, _lay)),
-                np.asarray(blocks_to_flat(pair[1].leaves, _lay))])
+                np.asarray(blocks_to_flat(_unshard_bv(pair[0], _lay).leaves,
+                                          _lay)),
+                np.asarray(blocks_to_flat(_unshard_bv(pair[1], _lay).leaves,
+                                          _lay))])
         elif jax.default_backend() != "cpu" and args.method == "chebyshev":
             psi0 = (sd.domain_wall_state if args.state == "domain_wall"
                     else sd.neel_state)(model, dtype=jnp.float32)
@@ -268,12 +321,20 @@ def main(argv=None):
         samples = []
         t0 = time.time()
         for s in range(args.samples):
-            C = sd.typicality_correlation_function(
-                model, args.beta,
-                sd.make_spin_operator(args.site_a, "z"),
-                sd.make_spin_operator(args.site_b, "z"),
-                ts, key=jax.random.PRNGKey(s),
-            )
+            if model.kron_splits is not None:
+                # BlockVec route (the flagship layout; --mesh N shards the
+                # thermal state + co-evolution end to end)
+                C = sd.typicality_correlation_kron(
+                    model, args.beta, args.site_a, args.site_b, ts,
+                    key=jax.random.PRNGKey(s),
+                    fused=jax.default_backend() != "cpu", mesh=mesh)
+            else:
+                C = sd.typicality_correlation_function(
+                    model, args.beta,
+                    sd.make_spin_operator(args.site_a, "z"),
+                    sd.make_spin_operator(args.site_b, "z"),
+                    ts, key=jax.random.PRNGKey(s),
+                )
             samples.append(C)
         C = np.mean(samples, axis=0)
         info.update(beta=args.beta, C0=float(np.real(C[0])),

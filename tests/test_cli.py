@@ -80,3 +80,55 @@ def test_cli_auto_layout_picks_kron_at_large_L(monkeypatch):
     except RuntimeError:
         pass
     assert captured["layout"] == "sector_kron"
+
+
+def test_cli_mesh_groundstate(capsys):
+    """--mesh N routes the solve through the sharded kron drivers
+    (VERDICT r4 #9): same physics as the single-device path."""
+    info = run_cli(capsys, ["groundstate", "--L", "12", "--sz0", "--f32",
+                            "--layout", "sector_kron", "--lanc-m", "20",
+                            "--cycles", "2", "--mesh", "4"])
+    assert info["mesh"] == 4
+    # exact: L=12 Sz=0 Heisenberg E0 = -8.6763 (f64 flat solve)
+    assert info["E0"] == pytest.approx(-8.6763, abs=2e-2)
+
+
+def test_cli_mesh_sqw_kpm(tmp_path, capsys):
+    out = str(tmp_path / "s.npz")
+    info = run_cli(capsys, ["sqw", "--method", "kpm", "--L", "10", "--sz0",
+                            "--f32", "--layout", "sector_kron", "--kpm-m",
+                            "20", "--lanc-m", "15", "--n-omega", "16",
+                            "--mesh", "4", "--out", out])
+    data = np.load(out)
+    assert data["S"].shape == (10, 16)
+    assert np.isfinite(data["S"]).all()
+
+
+def test_cli_mesh_sqw_lanczos(capsys):
+    info = run_cli(capsys, ["sqw", "--method", "lanczos", "--L", "10",
+                            "--sz0", "--f32", "--layout", "sector_kron",
+                            "--lanc-m", "20", "--n-omega", "12",
+                            "--mesh", "2"])
+    assert info["mesh"] == 2
+    assert info["S_max"] > 0
+
+
+def test_cli_mesh_evolve(capsys):
+    info = run_cli(capsys, ["evolve", "--L", "10", "--sz0", "--f32",
+                            "--layout", "sector_kron", "--steps", "2",
+                            "--t-max", "0.2", "--cheb-n", "12",
+                            "--mesh", "4"])
+    assert abs(info["final_norm"] - 1.0) < 1e-3
+
+
+def test_cli_mesh_typicality(capsys):
+    info = run_cli(capsys, ["typicality", "--L", "10", "--sz0", "--f32",
+                            "--layout", "sector_kron", "--beta", "0.3",
+                            "--n-t", "2", "--t-max", "0.4", "--mesh", "4"])
+    assert info["C0"] == pytest.approx(0.25, abs=0.03)
+
+
+def test_cli_mesh_requires_kron(capsys):
+    with pytest.raises(SystemExit):
+        main(["groundstate", "--L", "10", "--sz0", "--f32",
+              "--layout", "compact", "--mesh", "4"])
