@@ -138,3 +138,55 @@ class TestShardedRestore:
         topo = [x for x in w if "topology" in str(x.message)]
         assert not topo, topo
         np.testing.assert_array_equal(np.asarray(psi2), np.arange(128.0))
+
+
+def test_two_process_jax_distributed_smoke():
+    """REAL multi-process init (VERDICT r4 #7): two OS processes, each with
+    2 virtual CPU devices, coordinated by jax.distributed — exercises
+    initialize_distributed / mesh_from_topology / cross-process collectives
+    for real (the other tests emulate multi-chip in one process). Each
+    worker checks its addressable shards of a sharded kron matvec against
+    the single-device oracle and a psum'd inner product."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # pick a free port for the coordination service
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_dist_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            XLA_FLAGS="",
+            JAX_PLATFORMS="",
+            PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert "DIST_OK" in out, out
+    # both processes agree on the psum'd energy
+    e = [line for out in outs for line in out.splitlines()
+         if line.startswith("DIST_OK")]
+    assert len(e) == 2 and e[0].split("e0=")[1] == e[1].split("e0=")[1], e
