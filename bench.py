@@ -186,6 +186,70 @@ def bench_shardmap_d1(L, reps, hbm_bw, f32_tflops):
     }
 
 
+def bench_evolve_kron(L, reps, hbm_bw, f32_tflops, bf16=False):
+    """One full Chebyshev time-evolution STEP on BlockVec plane pairs
+    (solvers/kron_evolve._cheb_kron_scan through the fused kernel) — the
+    trajectory driver's inner loop, f32 or bf16 states (VERDICT r4 #3).
+
+    value = seconds per step (cheb_n = 40 terms); vs_baseline = fraction of
+    the step's own speed-of-light: per term per plane the kernel moves 2
+    state-dtype passes and the fused recurrence/accumulator combine moves
+    read{h, p_curr, p_prev (state) + acc_re, acc_im (f32)} +
+    write{p_next (state) + acc_re, acc_im (f32)} — 6 * itemsize + 16 bytes
+    per element (40 B f32, 28 B bf16: the f32 accumulator is why bf16 buys
+    ~1.4x on the step, not the 2x of the bare matvec). MXU term: 2 * cheb_n
+    applies at the layout's exact contraction flops."""
+    import jax
+    import jax.numpy as jnp
+
+    import spindynamics_tpu as sd
+    from spindynamics_tpu.ops.sector_kron import (
+        kron_apply_flops, make_sector_kron_layout)
+    from spindynamics_tpu.solvers.blockvec import bv_random, bv_zeros_like
+    from spindynamics_tpu.solvers.chebyshev import chebyshev_coefficients
+    from spindynamics_tpu.solvers.kron_evolve import (
+        _cheb_kron_scan, kron_planes_matvec_fn)
+
+    import numpy as np
+
+    cheb_n = int(os.environ.get("BENCH_EVOLVE_CHEB_N", "40"))
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    model = sd.xxz_chain(L, Jxy=1.0, Jz=0.5, nup=L // 2, dtype=jnp.float32,
+                         layout="sector_kron")
+    lay = make_sector_kron_layout(model, model.kron_splits, model.kron_pads)
+    pmv = kron_planes_matvec_fn(lay, fused=True)
+    re = bv_random(lay, jax.random.PRNGKey(0), jnp.float32)
+    nrm = float(np.sqrt(sum(float(jnp.vdot(x, x)) for x in re.leaves)))
+    pair = ((re * (1.0 / nrm)).astype(dtype), bv_zeros_like(re).astype(dtype))
+    # generous static bounds (spectrum of the open XXZ chain is well inside);
+    # avoids a bounds solve that would add compiles to the bench
+    Eb = (-0.8 * L, 0.8 * L)
+    c, a, b = chebyshev_coefficients(0.05, Eb[0], Eb[1], cheb_n)
+    c_ri = jnp.asarray(np.stack([c.real, c.imag], axis=1), jnp.float32)
+    ab = (jnp.float32(1.0 / a), jnp.float32(b))
+
+    def chain(pair, c_ri, rep):
+        for _ in range(rep):
+            pair = _cheb_kron_scan(pmv, pair, c_ri, ab, cheb_n)
+        s = sum(jnp.sum(x.astype(jnp.float32)) for x in pair[0].leaves)
+        jax.block_until_ready(s)
+        return s
+
+    per_step = _slope_time(chain, (pair, c_ri), 1, 2)
+    N_pad = lay.n_states
+    itemsize = 2 if bf16 else 4
+    traffic = cheb_n * 2 * N_pad * (6 * itemsize + 16)
+    rate = float(os.environ.get("BENCH_BF16_TFLOPS", 70.0e12)) if bf16 \
+        else f32_tflops
+    t_light = max(traffic / hbm_bw, cheb_n * 2 * kron_apply_flops(lay) / rate)
+    return {
+        "metric": f"evolve_step_s_L{L}_Sz0_kron" + ("_bf16" if bf16 else ""),
+        "value": round(per_step, 4),
+        "unit": "s/step",
+        "vs_baseline": round(t_light / per_step, 4),
+    }
+
+
 def embedded_pallas_flops(plan, N):
     """Logical MXU flops of one fused embedded apply (ops/pallas_matvec).
 
@@ -289,8 +353,8 @@ def main():
     # matrix tokens: "28" (same backend) or "pallas:26" (explicit backend)
     extra = os.environ.get(
         "BENCH_MATRIX",
-        "28,pallas:26,bf16:32,shardmap:32" if backend == "sector_kron"
-        else "")
+        "28,pallas:26,bf16:32,shardmap:32,evolve:28,evolvebf16:28"
+        if backend == "sector_kron" else "")
     reps = int(os.environ.get("BENCH_REPS", "16"))
     hbm_bw = float(os.environ.get("BENCH_HBM_BW", 819e9))  # v5e
     f32_tflops = float(os.environ.get("BENCH_F32_TFLOPS", 35.5e12))
@@ -308,6 +372,11 @@ def main():
                                      bf16=be == "bf16")
         if be == "shardmap":
             return bench_shardmap_d1(int(l), reps, hbm_bw, f32_tflops)
+        if be in ("evolve", "evolvebf16"):
+            # full Chebyshev evolution step (trajectory driver inner loop),
+            # f32 or bf16 BlockVec states (VERDICT r4 #3)
+            return bench_evolve_kron(int(l), reps, hbm_bw, f32_tflops,
+                                     bf16=be == "evolvebf16")
         return bench_embedded(int(l), be, reps, hbm_bw, f32_tflops)
 
     # Headline FIRST, printed the moment it exists — a later timeout cannot
