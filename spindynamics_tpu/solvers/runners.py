@@ -366,8 +366,8 @@ def groundstate_kron(model, lanc_m: int = 40, cycles: int = 6,
 
 @jax.jit
 def _phi_planes(leaves, weights):
-    """phi = S^z_q psi planes + ||phi||^2 in ONE dispatch, directly on
-    BlockVec leaves (no flat round trip — the r3 version paid 2 relayout
+    """phi = S^z_q psi planes + per-plane ||.||^2 in ONE dispatch, directly
+    on BlockVec leaves (no flat round trip — the r3 version paid 2 relayout
     passes per q-point); `weights` is an argument so one trace serves
     every q. Works unchanged on sharded-form leaves (per-axis weights
     broadcast GSPMD-locally). Shared by kpm_sqw_kron and lanczos_sqw_kron."""
@@ -375,9 +375,9 @@ def _phi_planes(leaves, weights):
     from .blockvec import BlockVec
 
     pr, pi = bv_sz_q_apply(BlockVec(list(leaves)), weights)
-    n2 = (sum(jnp.vdot(x, x) for x in pr.leaves)
-          + sum(jnp.vdot(x, x) for x in pi.leaves))
-    return pr.leaves, pi.leaves, n2
+    n2r = sum(jnp.vdot(x, x) for x in pr.leaves)
+    n2i = sum(jnp.vdot(x, x) for x in pi.leaves)
+    return pr.leaves, pi.leaves, n2r, n2i
 
 
 def _kron_matvec_for(model, lay, fused: bool, mesh, axis_name: str):
@@ -414,7 +414,7 @@ def lanczos_sqw_kron(model, q_list, omega, lanc_m: int = 100,
                      target_residual: float | None = 1e-3, key=None,
                      fused: bool = True, psi0=None, E0=None, info=None,
                      tol: float = 1e-12, mesh=None,
-                     axis_name: str = "rows"):
+                     axis_name: str = "rows", plane_mode: str | None = None):
     """T=0 dynamic structure factor S(q, omega) via LANCZOS at kron BlockVec
     scale — the second spectral path at the flagship layout (VERDICT r4 #2;
     kpm_sqw_kron is the KPM path; ref src/LanczosSqw.jl:49-76 whose largest
@@ -433,7 +433,13 @@ def lanczos_sqw_kron(model, q_list, omega, lanc_m: int = 100,
     tridiagonalization on P(rows)-sharded leaves (the shard_map fused apply;
     phi construction is GSPMD-local, dots psum — no gather anywhere).
 
-    Returns (S [nq, n_omega] numpy, info dict with E0/residual/bounds)."""
+    plane_mode: "pair" (reference-faithful complex recurrence on the plane
+    pair; CPU default) | "split" (accelerator default: S_phi = S_re + S_im,
+    exact for real H and real psi0, via two independent real-plane
+    tridiagonalizations — the pair-scan program reproducibly faults the
+    relay TPU worker, see the in-function comment) | None (auto).
+
+    Returns (S [nq, n_omega] numpy, info dict with E0/residual/plane_mode)."""
     from ..observables_kron import bv_sz_q_weights
     from .blockvec import BlockVec
     from .kron_evolve import lanczos_tridiag_pair
@@ -461,28 +467,58 @@ def lanczos_sqw_kron(model, q_list, omega, lanc_m: int = 100,
     psi0 = psi0.astype(rdt)
     hi_lens = [l.shape[0] for l in psi0.leaves]
 
-    alphas_rows, betas_rows, norms = [], [], []
-    for q in q_list:
-        phi_r, phi_i, n2 = _phi_planes(
+    if plane_mode is None:
+        # "pair" is the reference-faithful complex recurrence
+        # (src/Lanczos.jl:180-229 from a complex start). On the relay
+        # backend the two-applies-plus-dots scan body reproducibly faults
+        # the TPU worker (round-5 finding; the single-BlockVec scan and the
+        # two-applies evolve scan each run fine), so accelerators default
+        # to "split": S_phi = S_re + S_im — EXACT for real H and real psi0
+        # (|<n|phi>|^2 = <n|re>^2 + <n|im>^2, |n> real), evaluated as two
+        # independent real-plane tridiagonalizations through the proven
+        # _lanczos_scan. Same total matvec count; the finite-m truncation
+        # estimator differs (both converge to the same spectrum).
+        plane_mode = "pair" if jax.default_backend() == "cpu" else "split"
+    # entries: (q_index, alphas, betas, norm); spectra accumulate per q
+    entries = []
+    for iq, q in enumerate(q_list):
+        phi_r, phi_i, n2r, n2i = _phi_planes(
             tuple(psi0.leaves),
             bv_sz_q_weights(lay, float(q), hi_lens, dtype=rdt))
-        n2 = float(n2)
-        if n2 <= 0.0:
+        n2r, n2i = float(n2r), float(n2i)
+        if n2r + n2i <= 0.0:
             # zero-norm phi (e.g. q = 0 at Sz = 0): zero spectral row, and
             # the guard runs BEFORE any division (fixes SURVEY.md §2.4-6)
-            alphas_rows.append(np.zeros(lanc_m))
-            betas_rows.append(np.zeros(lanc_m - 1))
-            norms.append(0.0)
             continue
-        al, be, nrm = lanczos_tridiag_pair(
-            pmv, (BlockVec(phi_r), BlockVec(phi_i)), lanc_m=lanc_m, tol=tol)
-        alphas_rows.append(np.asarray(al))
-        betas_rows.append(np.asarray(be))
-        norms.append(float(nrm))
-    S = spectral_from_tridiagonal_batched(
-        np.stack(alphas_rows), np.stack(betas_rows), np.asarray(norms),
-        float(E0), omega, eta=eta, broaden=broaden)
-    info.update(E0=float(E0))
+        if plane_mode == "pair":
+            al, be, nrm = lanczos_tridiag_pair(
+                pmv, (BlockVec(phi_r), BlockVec(phi_i)), lanc_m=lanc_m,
+                tol=tol)
+            entries.append((iq, np.asarray(al), np.asarray(be), float(nrm)))
+        elif plane_mode == "split":
+            from .lanczos import lanczos_iteration
+
+            tot = n2r + n2i
+            for leaves, n2 in ((phi_r, n2r), (phi_i, n2i)):
+                if n2 <= 1e-12 * tot:
+                    continue  # e.g. the sin plane at q = pi (integer sites)
+                fac = lanczos_iteration(mv, BlockVec(leaves), lanc_m,
+                                        tol=tol)
+                entries.append((iq, np.asarray(fac.alphas),
+                                np.asarray(fac.betas)[: lanc_m - 1],
+                                float(fac.v0_norm)))
+        else:
+            raise ValueError(f"unknown plane_mode {plane_mode!r}")
+    S = np.zeros((len(q_list), len(np.atleast_1d(omega))))
+    if entries:
+        rows = spectral_from_tridiagonal_batched(
+            np.stack([e[1] for e in entries]),
+            np.stack([e[2] for e in entries]),
+            np.asarray([e[3] for e in entries]),
+            float(E0), omega, eta=eta, broaden=broaden)
+        for (iq, *_rest), row in zip(entries, rows):
+            S[iq] += row
+    info.update(E0=float(E0), plane_mode=plane_mode)
     return S, info
 
 
@@ -567,9 +603,9 @@ def kpm_sqw_kron(model, q_list, omega, kpm_m: int = 100, lanc_m: int = 40,
 
     S_rows, n2s = [], []
     for q in q_list:
-        phi_r, phi_i, n2 = _phi_planes(
+        phi_r, phi_i, n2r, n2i = _phi_planes(
             tuple(psi0.leaves), bv_sz_q_weights(lay, float(q), hi_lens))
-        n2 = float(n2)
+        n2 = float(n2r) + float(n2i)
         n2s.append(n2)
         if n2 <= 0.0:
             S_rows.append(np.zeros(kpm_m, np.float32))  # placeholder row
