@@ -60,3 +60,27 @@ def test_slope_timer():
 
     t = slope_timer(chain, jnp.ones(1024))
     assert t >= 0.0
+
+
+def test_profiler_trace_writes_dump(tmp_path):
+    """utils/profiling.trace captures a real jax.profiler dump (SURVEY §5
+    tracing row): the trace dir gains a plugins/profile timeline."""
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from spindynamics_tpu.utils.profiling import annotate, trace
+
+    d = str(tmp_path / "tr")
+
+    @jax.jit
+    def f(x):
+        with annotate("test-phase"):
+            return jnp.sum(x * x)
+
+    with trace(d):
+        jax.block_until_ready(f(jnp.arange(1024.0)))
+    dumps = glob.glob(os.path.join(d, "plugins", "profile", "*", "*"))
+    assert dumps, f"no profiler dump written under {d}"
