@@ -75,7 +75,11 @@ try:
                       f"(N={lay.n_basis:,})")
     fig.colorbar(im, ax=axes[0])
     axes[1].plot(omega - float(E0), C[L // 2, j0, :], label="i=j (local)")
-    axes[1].plot(omega - float(E0), C[L // 2 + 1, j0, :], label="i=j+1")
+    # i=j+2: odd separations carry NEGATIVE (staggered) SzSz weight, which
+    # the reference's clamp-nonnegative convention zeroes
+    # (src/TimeEvolution/KPM.jl evaluate_chebyshev_series; mirrored here) —
+    # even separations show the genuine off-site spectrum
+    axes[1].plot(omega - float(E0), C[L // 2 + 2, j0, :], label="i=j+2")
     axes[1].set_xlabel("omega - E0")
     axes[1].set_ylabel("|S_ij(omega)|")
     axes[1].legend()

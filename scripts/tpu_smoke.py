@@ -20,7 +20,7 @@ and flushes incrementally — a dead worker costs one stage one retry, never
 the whole run. Failures are recorded under "errors" instead of aborting.
 
 Usage: python scripts/tpu_smoke.py [--fresh] [--skip-cli]
-       python scripts/tpu_smoke.py --stage {cli,equiv,timing,gs,evolve,shardmap}
+       python scripts/tpu_smoke.py --stage {cli,equiv,timing,gs,evolve,shardmap,lanczos_sqw,evolve_bf16}
 """
 
 import json
@@ -234,6 +234,54 @@ def stage_shardmap(results):
           f"({time.time()-t0:.0f}s)", flush=True)
 
 
+def stage_lanczos_sqw(results):
+    """Round-5: the LANCZOS spectral path at kron scale on chip
+    (plane-split tridiagonalizations; runners.lanczos_sqw_kron)."""
+    import numpy as np
+
+    import spindynamics_tpu as sd
+
+    L = 24
+    model, _lay, _t, _v = _kron_setup(L)
+    t0 = time.time()
+    E0, psi, info, lay = sd.groundstate_kron(model, lanc_m=40, cycles=3,
+                                             target_residual=1e-3)
+    omega = np.linspace(0.0, 4.0, 50)
+    S, sinfo = sd.lanczos_sqw_kron(model, [np.pi / 2, np.pi], omega,
+                                   lanc_m=60, psi0=psi, E0=E0, info=info)
+    results["lanczos_sqw_kron_L24"] = {
+        "plane_mode": sinfo["plane_mode"],
+        "S_max": float(S.max()),
+        "finite": bool(np.isfinite(S).all()),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print("lanczos_sqw L24:", results["lanczos_sqw_kron_L24"], flush=True)
+
+
+def stage_evolve_bf16(results):
+    """Round-5: bf16 BlockVec Chebyshev dynamics on chip
+    (evolve_trajectory_kron(state_dtype=bfloat16))."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import spindynamics_tpu as sd
+    from spindynamics_tpu.models.initial_states import domain_wall_bitstring
+
+    L = 24
+    model, _lay, _t, _v = _kron_setup(L)
+    t0 = time.time()
+    pair, obs, info = sd.evolve_trajectory_kron(
+        model, domain_wall_bitstring(model), 0.1, 3, cheb_n=24,
+        state_dtype=jnp.bfloat16)
+    results["kron_evolve_bf16_L24"] = {
+        "dtype": str(pair[0].leaves[0].dtype),
+        "norm_drift": float(abs(info["norms"][-1] - 1.0)),
+        "sz_max_abs": float(np.abs(obs.sum(axis=1)).max()),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print("evolve bf16 L24:", results["kron_evolve_bf16_L24"], flush=True)
+
+
 STAGES = [
     ("cli", "cli_kpm_sqw_L20", stage_cli),
     ("equiv", "fused_vs_xla_L24_rel_l2", stage_equiv),
@@ -241,6 +289,8 @@ STAGES = [
     ("gs", "groundstate_L24", stage_gs),
     ("evolve", "kron_evolve_L24", stage_evolve),
     ("shardmap", "shardmap_d1_L24_rel_l2", stage_shardmap),
+    ("lanczos_sqw", "lanczos_sqw_kron_L24", stage_lanczos_sqw),
+    ("evolve_bf16", "kron_evolve_bf16_L24", stage_evolve_bf16),
 ]
 
 
