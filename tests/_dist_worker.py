@@ -92,5 +92,33 @@ e0 = float(jax.jit(lambda a, b: jnp.vdot(a, b))(xs, ys))
 e_ref = float(np.dot(xs_host.astype(np.float64), ys_ref.astype(np.float64)))
 assert abs(e0 - e_ref) < 1e-2 * max(1.0, abs(e_ref)), (e0, e_ref)
 
-print(f"DIST_OK p{jax.process_index()} e0={e0:.6f}")
+# end-to-end: a short Lanczos bounds solve ACROSS processes (BlockVec form,
+# scan recurrence, every dot a cross-process psum) vs the local oracle
+from spindynamics_tpu.ops.sector_kron import flat_to_blocks
+from spindynamics_tpu.parallel.sharded_kron_scaling import (
+    shard_kron_blockvec,
+    sharded_kron_scaling_bv_matvec_fn,
+)
+from spindynamics_tpu.solvers.blockvec import BlockVec
+from spindynamics_tpu.solvers.lanczos import lanczos_iteration, tridiag_eigh
+
+bmv, blay, bspec = sharded_kron_scaling_bv_matvec_fn(mk, mesh,
+                                                     use_fused=False)
+bv_host = [np.asarray(l) for l in shard_kron_blockvec(
+    BlockVec(flat_to_blocks(jnp.asarray(x), blay)), bspec).leaves]
+bx = BlockVec([
+    jax.make_array_from_callback(h.shape, NamedSharding(mesh, P("rows")),
+                                 lambda idx, h=h: h[idx])
+    for h in bv_host])
+fac = lanczos_iteration(bmv, bx, 12)
+evals, _ = tridiag_eigh(fac.alphas, fac.betas, fac.m_eff)
+# oracle: same recurrence single-device on this process
+mv1 = lambda b: BlockVec(apply_H_sector_kron(  # noqa: E731
+    list(b.leaves), None, make_sector_kron_layout(mk, mk.kron_splits)))
+fac1 = lanczos_iteration(mv1, BlockVec(flat_to_blocks(jnp.asarray(x), blay)),
+                         12)
+ev1, _ = tridiag_eigh(fac1.alphas, fac1.betas, fac1.m_eff)
+assert abs(float(evals.min()) - float(ev1.min())) < 1e-3, (evals, ev1)
+
+print(f"DIST_OK p{jax.process_index()} e0={e0:.6f} emin={evals.min():.6f}")
 sys.exit(0)
