@@ -62,6 +62,13 @@ def kron_planes_matvec_fn(layout, tables=None, fused: bool = True):
         return (mv(pair[0]), mv(pair[1]))
 
     pmv.mv = mv
+    # metadata for the fused Chebyshev-term kernel (ops/pallas_cheb): the
+    # scan can only route through it when it knows the layout/tables behind
+    # the closure; sharded matvecs don't set these, so they keep the
+    # unfused scan path
+    pmv.layout = layout
+    pmv.tables = tables
+    pmv.fused = fused
     return pmv
 
 
@@ -193,9 +200,21 @@ def _cheb_kron_scan(pmv, pair, coeffs_ri, ab, n):
         return (p_curr, p_next, ar, ai), None
 
     if n > 2:
-        (_, _, acc_r, acc_i), _ = jax.lax.scan(
-            step, (phi_prev, phi_curr, acc_r, acc_i), coeffs_ri[2:]
-        )
+        lay = getattr(pmv, "layout", None)
+        from ..ops.pallas_cheb import cheb_fused_enabled, cheb_scan_terms_fused
+
+        if lay is not None and getattr(pmv, "fused", False) \
+                and cheb_fused_enabled():
+            # fully-fused term kernel (ops/pallas_cheb): shift + recurrence +
+            # accumulator ride the kernel's DMA pipeline instead of a serial
+            # XLA pass chain — same math, same per-term byte count
+            acc_r, acc_i = cheb_scan_terms_fused(
+                lay, pmv.tables, phi_prev, phi_curr, (acc_r, acc_i),
+                coeffs_ri[2:], ab)
+        else:
+            (_, _, acc_r, acc_i), _ = jax.lax.scan(
+                step, (phi_prev, phi_curr, acc_r, acc_i), coeffs_ri[2:]
+            )
     return (acc_r.astype(sdt), acc_i.astype(sdt))
 
 
