@@ -366,8 +366,16 @@ def cheb_scan_terms_fused(layout: SectorKronLayout, tables, pair_prev,
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
     if top_k is None:
-        top_k = int(os.environ.get(
-            "SDTPU_CHEB_TOPK", os.environ.get("SDTPU_FUSED_TOPK", "32")))
+        v = os.environ.get("SDTPU_CHEB_TOPK")
+        if v is not None:
+            top_k = int(v)
+        else:
+            from .sector_kron import default_fused_topk
+
+            # lower cutoff than the matvec: a cheb-tail group pays the whole
+            # per-term combine chain in XLA, so fusing smaller groups still
+            # wins (see default_fused_topk docstring for the measurements)
+            top_k = default_fused_topk(layout, min_elems=1 << 15)
     fuse_crossh = os.environ.get("SDTPU_FUSED_CROSSH", "1") == "1"
     plans, fused_set, tail = _term_plan(layout, top_k, fuse_crossh)
     state_dtype = pair_curr[0].dtype

@@ -414,11 +414,11 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
     ~2.6 N reads + RMW per apply in XLA — about 19 ms of the 17 ms measured
     roofline gap.
 
-    top_k: fuse only the top_k LARGEST groups (default env SDTPU_FUSED_TOPK
-    or 32); the tail runs through the XLA blocks path. Every distinct group
-    is a distinct Mosaic module and the remote compiler pays ~30-60 s each —
-    the top 32 groups carry ~92% of N at L=32, bounding first-compile time
-    while keeping nearly all of the fusion win.
+    top_k: fuse only the top_k LARGEST groups (default: the measured-best
+    size rule sector_kron.default_fused_topk — every group >= 0.5 MB,
+    clamped >= 32; env SDTPU_FUSED_TOPK overrides); the tail runs through
+    the XLA blocks path. Every distinct group is a distinct Mosaic module
+    (remote compiles ~30-60 s each), bounding first-compile time.
 
     axpy=(s, blocks0): return H psi + s * psi0 with the axpy folded into each
     group's kernel SEED — per-group, so psi0's leaves die as they are
@@ -438,7 +438,9 @@ def apply_H_sector_kron_fused(blocks, layout: SectorKronLayout, tables=None,
     import os
 
     if top_k is None:
-        top_k = int(os.environ.get("SDTPU_FUSED_TOPK", "32"))
+        from .sector_kron import default_fused_topk
+
+        top_k = default_fused_topk(layout)
     if fuse_crossh is None:
         fuse_crossh = os.environ.get("SDTPU_FUSED_CROSSH", "1") == "1"
     plans = fused_group_plans(layout)

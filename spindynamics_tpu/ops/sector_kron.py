@@ -698,6 +698,41 @@ def kron_apply_flops(layout: SectorKronLayout) -> int:
     return fl
 
 
+def default_fused_topk(layout: SectorKronLayout,
+                       min_elems: int = 1 << 17) -> int:
+    """Measured-best number of Pallas-fused groups for this layout.
+
+    The fused kernel (ops/pallas_kron) pays a fixed per-launch cost, so tiny
+    groups run faster through the batched XLA tail; large groups gain the
+    one-HBM-pass fusion. Round-5 chip study (slope-timed, warm cache):
+    L=32 roofline fraction 0.93 @ 32 fused groups -> 0.96-0.99 @ 48-80;
+    L=28 swings 0.71-0.86 @ 32 and 0.74-0.77 @ 64, but holds a stable
+    plateau @ 44-48 (0.889, 0.891, 0.909, 0.912, 0.925 across five
+    captures). The plateau edges sit near a 0.5 MB smallest-fused-group
+    size at both L, so the default fuses every group with >= 2^17 elements
+    (0.5 MB f32) — 44 groups at L=28, 80 at L=32 (measured 0.889/0.891 and
+    0.978/0.981) — clamped to >= 32 so small-L layouts (every group tiny,
+    kernel measured fine) keep their round-4 behavior and the
+    interpret-mode kernel tests keep exercising the kernel path.
+    Env SDTPU_FUSED_TOPK overrides.
+
+    min_elems: the size cutoff. The matvec kernel uses the default 2^17.
+    The fused Chebyshev-term kernel (ops/pallas_cheb) passes 2^15: its XLA
+    tail is pricier (each tail group pays the full per-term combine pass
+    chain, not just the apply), and the measured L=28 evolve step improves
+    monotonically 0.601 -> 0.616 -> 0.625 (f32) and 0.682 -> 0.715 -> 0.769
+    (bf16) of step-light across 32 -> 48 -> 64 fused groups; 2^15 lands at
+    62 of 78 groups there."""
+    import os
+
+    v = os.environ.get("SDTPU_FUSED_TOPK")
+    if v is not None:
+        return int(v)
+    big = sum(1 for (_, _, _, ch, _, _, cmp, clp) in layout.groups
+              if ch * cmp * clp >= min_elems)
+    return max(32, big)
+
+
 def sector_kron_tables(layout: SectorKronLayout):
     """Arrays-only pytree of the layout's matrices (host numpy).
 

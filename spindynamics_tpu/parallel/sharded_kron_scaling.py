@@ -630,7 +630,7 @@ def sharded_kron_scaling_matvec_fn(model: SpinModel, mesh,
     delivered as pre-shifted GSPMD windows (halo collective-permutes of
     ~N/D per device — see _build_crossh_windows) for D > 1, or stream through
     the kernel's shifted-BlockSpec path at D == 1. top_k bounds the number of
-    distinct Mosaic modules (env SDTPU_FUSED_TOPK, default 32), as in the
+    distinct Mosaic modules (default: sector_kron.default_fused_topk), as in the
     single-device fused apply; tail groups keep the XLA path."""
     if model.kron_splits is None:
         raise ValueError("model must be built with layout='sector_kron'")
@@ -657,7 +657,9 @@ def sharded_kron_scaling_matvec_fn(model: SpinModel, mesh,
                 "use_fused requires an f32 (or bf16) model dtype; the x64 "
                 "validation path runs with use_fused=False")
         if top_k is None:
-            top_k = int(os.environ.get("SDTPU_FUSED_TOPK", "32"))
+            from ..ops.sector_kron import default_fused_topk
+
+            top_k = default_fused_topk(layout)
         cfg = _FusedCfg(layout, spec, top_k,
                         interpret=jax.default_backend() == "cpu",
                         state_dtype=jnp.dtype(model.dtype))
@@ -758,7 +760,9 @@ def sharded_kron_scaling_bv_matvec_fn(model: SpinModel, mesh,
                 "use_fused requires an f32 or bf16 model dtype; the x64 "
                 "validation path runs with use_fused=False")
         if top_k is None:
-            top_k = int(os.environ.get("SDTPU_FUSED_TOPK", "32"))
+            from ..ops.sector_kron import default_fused_topk
+
+            top_k = default_fused_topk(layout)
         cfg = _FusedCfg(layout, spec, top_k,
                         interpret=jax.default_backend() == "cpu",
                         state_dtype=jnp.dtype(model.dtype))
