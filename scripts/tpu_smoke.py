@@ -282,8 +282,51 @@ def stage_evolve_bf16(results):
     print("evolve bf16 L24:", results["kron_evolve_bf16_L24"], flush=True)
 
 
+def stage_cheb_fused(results):
+    """Round-5: the fused Chebyshev-term kernel (ops/pallas_cheb) vs the XLA
+    scan path ON CHIP — the equivalence the CPU tests prove in interpret
+    mode, re-proven against the real Mosaic lowering."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spindynamics_tpu.solvers.blockvec import bv_random, bv_zeros_like
+    from spindynamics_tpu.solvers.chebyshev import chebyshev_coefficients
+    from spindynamics_tpu.solvers.kron_evolve import (
+        _cheb_kron_scan, kron_planes_matvec_fn)
+
+    L, cheb_n = 20, 12
+    _model, lay, _t, _v = _kron_setup(L)
+    re = bv_random(lay, jax.random.PRNGKey(0), jnp.float32)
+    nrm = float(np.sqrt(sum(float(jnp.vdot(x, x)) for x in re.leaves)))
+    pair = (re * (1.0 / nrm), bv_zeros_like(re))
+    c, a, b = chebyshev_coefficients(0.15, -0.8 * L, 0.8 * L, cheb_n)
+    c_ri = jnp.asarray(np.stack([c.real, c.imag], axis=1), jnp.float32)
+    ab = (jnp.float32(1.0 / a), jnp.float32(b))
+    t0 = time.time()
+    outs = {}
+    for mode, env in (("fused", "1"), ("xla", "0")):
+        os.environ["SDTPU_CHEB_FUSED"] = env
+        pmv = kron_planes_matvec_fn(lay, fused=True)
+        out = _cheb_kron_scan(pmv, pair, c_ri, ab, cheb_n)
+        outs[mode] = [np.asarray(l, np.float64)
+                      for p in out for l in p.leaves]
+    os.environ.pop("SDTPU_CHEB_FUSED", None)
+    num = sum(float(np.sum((x - y) ** 2))
+              for x, y in zip(outs["xla"], outs["fused"]))
+    den = sum(float(np.sum(x ** 2)) for x in outs["xla"])
+    rel = (num / max(den, 1e-300)) ** 0.5
+    results["cheb_fused_vs_xla_L20_rel_l2"] = rel
+    results["cheb_fused_wall_s"] = round(time.time() - t0, 1)
+    assert rel < 5e-6, rel
+    print("cheb fused vs xla rel l2:", rel, flush=True)
+
+
 STAGES = [
     ("cli", "cli_kpm_sqw_L20", stage_cli),
+    ("cheb_fused", "cheb_fused_vs_xla_L20_rel_l2", stage_cheb_fused),
     ("equiv", "fused_vs_xla_L24_rel_l2", stage_equiv),
     ("timing", "fused_L28", stage_timing),
     ("gs", "groundstate_L24", stage_gs),
